@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine determinism helpers (SURVEY.md §7.2).
+  *
+  * The driver hash-compares our parquet output against DuckDB running the
+  * oracle SQL, so every declared query must be bit-deterministic across
+  * engines:
+  *  - money/quantity sums go through decimal(18,2) (exact, order-free)
+  *    and come back out as double (identical nearest-double on both sides);
+  *  - averages are exact-decimal-sum / count in double (one IEEE division);
+  *  - inherently inexact stats (stddev, corr, cosine) are round(x, 4);
+  *  - every query ends in a total ORDER BY with a unique tiebreak.
+  */
+object QueryUtils {
+  /** The harness query signature: (session, sfDir) => result. */
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum of a double money column, as double. */
+  def decSum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact-sum average: decimal sum / count, one double division. */
+  def decAvg(c: Column): Column =
+    (sum(c.cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+
+  /** round to 4 for inherently order-dependent float aggregates. */
+  def r4(c: Column): Column = round(c, 4)
+}

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the test star schema (see FIXTURES.md).
+  *
+  * All tables are single parquet files per scale-factor directory. The
+  * loaders are thin `spark.read.parquet` wrappers so that Catalyst's
+  * column pruning and predicate pushdown reach the scan untouched — at
+  * cluster scale these become multi-file scans with partition pruning
+  * for free, since nothing here forces materialization.
+  *
+  * `events.ts` is physically TIMESTAMP(NANOS, isAdjustedToUTC=false),
+  * which Spark's vectorized reader rejects by default
+  * ([PARQUET_TYPE_ILLEGAL]). We read it with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` (long nanos since epoch)
+  * and recover a microsecond-precision TIMESTAMP_NTZ via integer
+  * division (`ts div 1000` — exact; a double division would lose
+  * sub-microsecond precision at 2024-era epochs).
+  */
+object Tables {
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Fail fast if driver-regenerated data drifts from FIXTURES.md. */
+  private def assertCols(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    val missing = cols.filterNot(have)
+    require(missing.isEmpty, s"table $table missing expected columns: $missing (has ${df.columns.mkString(",")})")
+    df
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "region"), "region", Seq("r_regionkey", "r_name"))
+
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "nation"), "nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "customer"), "customer",
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "supplier"), "supplier",
+      Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+
+  def part(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "part"), "part",
+      Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "orders"), "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "lineitem"), "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+
+  /** events with `ts` recovered to TIMESTAMP_NTZ (µs precision, UTC session). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = assertCols(read(spark, dir, "events"), "events",
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+
+  /** events with raw long-nanos ts (for callers that bucket on the long). */
+  def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+  }
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "documents"), "documents",
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    assertCols(read(spark, dir, "embeddings"), "embeddings",
+      Seq("vec_id", "embedding", "label"))
+}
