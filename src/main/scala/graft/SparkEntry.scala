@@ -17,10 +17,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ScanFilterQueries.queries ++ JoinQueries.queries ++ AggQueries.queries
+    ScanFilterQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
+      WindowQueries.queries ++ SetQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    ScanFilterQueries.oracles ++ JoinQueries.oracles ++ AggQueries.oracles
+    ScanFilterQueries.oracles ++ JoinQueries.oracles ++ AggQueries.oracles ++
+      WindowQueries.oracles ++ SetQueries.oracles
 }

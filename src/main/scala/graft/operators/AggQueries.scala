@@ -42,6 +42,127 @@ object AggQueries {
           decAvg(col("l_discount")).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_count_distinct" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_distinct(col("o_custkey")).as("n_cust"),
+          count_distinct(col("o_custkey"), col("o_orderstatus")).as("n_cust_status"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // oracle omitted: HLL++ estimates are engine-specific; the unit test
+    // asserts ±5% of the exact distinct count instead.
+    "agg_approx_distinct" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"),
+          decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "agg_stats" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          r4(stddev_samp(col("value"))).as("sd_samp"),
+          r4(stddev_pop(col("value"))).as("sd_pop"),
+          r4(var_samp(col("value"))).as("v_samp"),
+          r4(var_pop(col("value"))).as("v_pop"),
+          r4(corr(col("value"), col("user_id").cast("double"))).as("corr_vu"),
+          r4(covar_samp(col("value"), col("user_id").cast("double"))).as("covar_vu"))
+        .orderBy("event_type")
+    }),
+
+    "agg_percentiles" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          r4(percentile(col("value"), lit(0.5))).as("p50"),
+          r4(percentile(col("value"), lit(0.9))).as("p90"))
+        .orderBy("event_type")
+    }),
+
+    "agg_collect_sorted" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(array_sort(collect_set(col("user_id"))).as("users"))
+        .orderBy("event_type")
+    }),
+
+    "agg_string_agg" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("source")
+        .agg(array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+        .orderBy("source")
+    }),
+
+    "agg_conditional" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          count_if(col("o_totalprice") > 100000.0).as("n_big"),
+          decSum(when(col("o_orderstatus") === "F", col("o_totalprice"))).as("f_total"),
+          bool_and(col("o_totalprice") > 1000.0).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000.0).as("any_huge"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("best_order"),
+          min_by(col("o_orderkey"), col("o_totalprice")).as("worst_order"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "agg_bitwise" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(
+          bit_and(col("user_id")).as("ba"),
+          bit_or(col("user_id")).as("bo"),
+          bit_xor(col("user_id")).as("bx"))
+        .orderBy("event_type")
+    }),
+
+    "agg_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0)
+        .orderBy("day")
+    }),
+
+    "agg_histogram" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy((floor(col("value") / 50) * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
     })
   )
 
@@ -67,6 +188,85 @@ object AggQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_count_distinct" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS n_cust,
+        |  COUNT(DISTINCT (o_custkey, o_orderstatus)) AS n_cust_status
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) AS sd_samp,
+        |  round(stddev_pop(value), 4) AS sd_pop,
+        |  round(var_samp(value), 4) AS v_samp,
+        |  round(var_pop(value), 4) AS v_pop,
+        |  round(corr(value, CAST(user_id AS DOUBLE)), 4) AS corr_vu,
+        |  round(covar_samp(value, CAST(user_id AS DOUBLE)), 4) AS covar_vu
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 4) AS p50,
+        |  round(quantile_cont(value, 0.9), 4) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_collect_sorted" ->
+      """SELECT event_type, LIST(DISTINCT user_id ORDER BY user_id) AS users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_string_agg" ->
+      """SELECT source, STRING_AGG(DISTINCT lang, ',' ORDER BY lang) AS langs
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "agg_conditional" ->
+      """SELECT o_orderpriority,
+        |  count_if(o_totalprice > 100000.0) AS n_big,
+        |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
+        |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000.0) AS any_huge,
+        |  arg_max(o_orderkey, o_totalprice) AS best_order,
+        |  arg_min(o_orderkey, o_totalprice) AS worst_order
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "agg_bitwise" ->
+      """SELECT event_type, bit_and(user_id) AS ba, bit_or(user_id) AS bo, bit_xor(user_id) AS bx
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 }
