@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.FnQueries
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §3.1
@@ -18,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanFilterQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
-      WindowQueries.queries ++ SetQueries.queries
+      WindowQueries.queries ++ SetQueries.queries ++ FnQueries.queries ++
+      GenQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanFilterQueries.oracles ++ JoinQueries.oracles ++ AggQueries.oracles ++
-      WindowQueries.oracles ++ SetQueries.oracles
+      WindowQueries.oracles ++ SetQueries.oracles ++ FnQueries.oracles ++
+      GenQueries.oracles
 }
