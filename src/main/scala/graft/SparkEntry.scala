@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.functions.FnQueries
+import graft.functions.{FnQueries, UdfQueries}
 import graft.operators._
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §3.1
   * (lifecycle). Each category object contributes a `queries` map of
@@ -20,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ScanFilterQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ SetQueries.queries ++ FnQueries.queries ++
-      GenQueries.queries
+      GenQueries.queries ++ StreamQueries.queries ++ LlmQueries.queries ++
+      UdfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ScanFilterQueries.oracles ++ JoinQueries.oracles ++ AggQueries.oracles ++
       WindowQueries.oracles ++ SetQueries.oracles ++ FnQueries.oracles ++
-      GenQueries.oracles
+      GenQueries.oracles ++ StreamQueries.oracles ++ LlmQueries.oracles ++
+      UdfQueries.oracles
 }

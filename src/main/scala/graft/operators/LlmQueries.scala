@@ -1,0 +1,229 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryUtils._
+import graft.functions.VectorFunctions.{vecDot, vecNorm}
+import graft.sources.Tables
+
+/** §2.K — LLM-data-pipeline operators over `documents` / `embeddings`.
+  *
+  * Scale design (100 TB):
+  *  - `llm_dedup_near` is a prefix-filtered (PPJoin-style) exact shingle
+  *    Jaccard join: shingles are globally ordered by ascending document
+  *    frequency and only each document's rarest prefix is exploded for
+  *    candidate generation, so candidate volume tracks true near-dup
+  *    density instead of O(n²). The DuckDB oracle brute-forces the same
+  *    semantics — prefix filtering at threshold t is lossless.
+  *  - vector similarity uses the codegen'd FloatVecDot expression, not
+  *    interpreted lambdas (see VectorFunctions).
+  *  - brute-force kNN here is the correctness oracle; the LSH/IVF scale
+  *    path ships alongside in ScaleQueries.
+  */
+object LlmQueries {
+
+  /** distinct 3-token shingles per doc (docs have ≥10 tokens at every sf). */
+  private val shingleExpr =
+    "array_distinct(transform(sequence(1, size(tok) - 2), " +
+      "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1), ' ', element_at(tok, i + 2))))"
+
+  val queries: Map[String, QFn] = Map(
+    "llm_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_md5")
+    }),
+
+    "llm_dedup_near" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tok"))
+        .where(size(col("tok")) >= 3)
+        .select(col("doc_id"), expr(shingleExpr).as("sh"))
+        .withColumn("n", size(col("sh")))
+      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      // shingles per doc, rarest-first (global df order, shingle tiebreak)
+      val sorted = ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
+          x => x.getField("s")).as("ssorted"))
+      // prefix length n - ceil(0.6 n) + 1 guarantees any pair with J >= 0.6
+      // shares at least one prefix shingle
+      val pref = sorted.select(col("doc_id"),
+        expr("slice(ssorted, 1, size(ssorted) - CAST(ceil(size(ssorted) * 0.6) AS INT) + 1)").as("pref"))
+      val pa = pref.select(col("doc_id").as("a_id"), explode(col("pref")).as("s"))
+      val pb = pref.select(col("doc_id").as("b_id"), explode(col("pref")).as("s"))
+      val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .where(col("inter") * 10 >= col("uni") * 6) // J >= 0.6, integer-exact
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          (col("inter").cast("double") / col("uni")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    "llm_simsearch_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      emb.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          (vecDot(col("embedding"), col("qv"))
+            / (vecNorm(col("embedding")) * vecNorm(col("qv")))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    "llm_knn_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("nrm").as("a_n"))
+      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("nrm").as("b_n"))
+      a.join(b, col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
+        .groupBy("a_id")
+        .agg(max_by(struct(col("b_id"), col("cos_sim")),
+          struct(col("cos_sim"), -col("b_id"))).as("nn"))
+        .select(col("a_id").as("vec_id"), col("nn.b_id").as("nn_id"), col("nn.cos_sim").as("cos_sim"))
+        .orderBy("vec_id")
+    }),
+
+    "llm_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          (sum(size(split(col("text"), " ")).cast("long")).cast("double")
+            / count(lit(1))).as("avg_tokens"),
+          count_distinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    "llm_tfidf_topterms" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      tf.where(col("doc_id") < 20)
+        .join(dft, "term").crossJoin(broadcast(n))
+        .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          r4(col("tfidf")).as("tfidf"))
+        .orderBy("doc_id", "rn")
+    }),
+
+    "llm_ngrams_bigram" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("tok"))
+        .where(size(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tok) - 1), i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(20)
+    }),
+
+    "llm_multimodal_join" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val e = Tables.embeddings(s, dir)
+      d.join(e, d("doc_id") === e("vec_id"))
+        .withColumn("nrm", vecNorm(col("embedding")))
+        .groupBy("lang", "label")
+        .agg(count(lit(1)).as("n_docs"), r4(avg(col("nrm"))).as("avg_norm"))
+        .orderBy("lang", "label")
+    })
+  )
+
+  private val dupNearOracle =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok) - 2),
+      |        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) sh FROM t),
+      |p AS (SELECT a.doc_id a_id, b.doc_id b_id,
+      |        len(list_intersect(a.sh, b.sh)) inter,
+      |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) uni
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT a_id AS doc_a, b_id AS doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+      |FROM p WHERE inter * 10 >= uni * 6 ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simsearchOracle =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      |           FROM embeddings WHERE vec_id = 0),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |      FROM embeddings WHERE vec_id <> 0)
+      |SELECT e.vec_id,
+      |  list_aggregate(list_transform(list_zip(e.ev, q.qv), p -> p[1] * p[2]), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(e.ev, x -> x * x), 'sum')) *
+      |   sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos_sim
+      |FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  private val knnOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, ev, sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) AS nrm FROM e),
+      |p AS (SELECT a.vec_id a_id, b.vec_id b_id,
+      |        list_aggregate(list_transform(list_zip(a.ev, b.ev), z -> z[1] * z[2]), 'sum')
+      |          / (a.nrm * b.nrm) AS cos_sim
+      |      FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) rn FROM p)
+      |SELECT a_id AS vec_id, b_id AS nn_id, cos_sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  private val tfidfOracle =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+      |dft AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) n_docs FROM documents),
+      |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+      |         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dft.df) AS tfidf
+      |       FROM tf JOIN dft USING (term) CROSS JOIN n WHERE tf.doc_id < 20),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) rn FROM sc)
+      |SELECT doc_id, rn, term, tf, df, round(tfidf, 4) AS tfidf
+      |FROM r WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+
+    "llm_dedup_near" -> dupNearOracle,
+    "llm_simsearch_topk" -> simsearchOracle,
+    "llm_knn_join" -> knnOracle,
+
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "llm_tfidf_topterms" -> tfidfOracle,
+
+    "llm_ngrams_bigram" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i+1])) AS bigram
+        |  FROM (SELECT string_split(text, ' ') tok FROM documents) WHERE len(tok) >= 2)
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
+
+    "llm_multimodal_join" ->
+      """SELECT lang, label, count(*) AS n_docs,
+        |  round(avg(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS avg_norm
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+  )
+}

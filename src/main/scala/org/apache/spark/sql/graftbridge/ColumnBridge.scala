@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made `Column` a connect-agnostic facade and hid the
+  * Column↔Expression converters behind `private[sql]`. This bridge
+  * lives under the spark.sql package namespace solely to re-expose the
+  * two conversions our custom Catalyst expressions need.
+  */
+object ColumnBridge {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+}
