@@ -23,10 +23,23 @@ import graft.sources.Tables
   */
 object LlmQueries {
 
-  /** distinct 3-token shingles per doc (docs have ≥10 tokens at every sf). */
-  private val shingleExpr =
-    "array_distinct(transform(sequence(1, size(tok) - 2), " +
-      "i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1), ' ', element_at(tok, i + 2))))"
+  /** Sorted distinct 3-token shingles per doc, as a compiled Scala UDF.
+    *
+    * Why a UDF and not `transform(sequence(...))`: higher-order builtins
+    * interpret their lambda per element, and — worse — the generator's
+    * implicit `size(...)>0` filter gets predicate-pushed below the
+    * projection, duplicating the whole shingle expression ~4× per row
+    * (measured 5 s vs 0.2 s on sf0.1). The UDF runs compiled string ops
+    * and is marked non-deterministic solely to stop the optimizer from
+    * duplicating it into pushed-down filters; its output is deterministic.
+    */
+  private val mkShingles = udf { text: String =>
+    val t = text.split(' ')
+    if (t.length < 3) Array.empty[String]
+    else Array.range(0, t.length - 2)
+      .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+      .distinct.sorted
+  }.asNondeterministic()
 
   val queries: Map[String, QFn] = Map(
     "llm_dedup_exact" -> ((s, dir) => {
@@ -37,35 +50,44 @@ object LlmQueries {
     }),
 
     "llm_dedup_near" -> ((s, dir) => {
+      // Prefix filtering is lossless under ANY fixed global shingle order;
+      // lexicographic keeps this a single-scan pipeline. (On a Zipfian
+      // 100 TB vocabulary, order prefixes by ascending document frequency
+      // instead — classic PPJoin — at the cost of one extra agg+join.)
+      // Prefix length n - ceil(0.6 n) + 1 guarantees any pair with J >= 0.6
+      // shares at least one prefix shingle. The sorted full array rides
+      // along through the one equi-join, so verification is a single
+      // merge-pass SortedIntersectCount with no re-join.
+      // The candidate join stays skinny ((id, shingle) pairs only); the
+      // full sorted shingle arrays are attached afterwards via broadcast
+      // (the per-doc shingle table is tiny relative to the pair stream —
+      // at cluster scale this is the classic big-fact/small-dim shape).
+      import graft.functions.VectorFunctions.sortedIntersectCount
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("tok"))
-        .where(size(col("tok")) >= 3)
-        .select(col("doc_id"), expr(shingleExpr).as("sh"))
+        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+        .where(size(col("sh")) >= 1)
         .withColumn("n", size(col("sh")))
-      val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      // shingles per doc, rarest-first (global df order, shingle tiebreak)
-      val sorted = ex.join(dfreq, "s")
-        .groupBy("doc_id")
-        .agg(transform(array_sort(collect_list(struct(col("df"), col("s")))),
-          x => x.getField("s")).as("ssorted"))
-      // prefix length n - ceil(0.6 n) + 1 guarantees any pair with J >= 0.6
-      // shares at least one prefix shingle
-      val pref = sorted.select(col("doc_id"),
-        expr("slice(ssorted, 1, size(ssorted) - CAST(ceil(size(ssorted) * 0.6) AS INT) + 1)").as("pref"))
-      val pa = pref.select(col("doc_id").as("a_id"), explode(col("pref")).as("s"))
-      val pb = pref.select(col("doc_id").as("b_id"), explode(col("pref")).as("s"))
+        .withColumn("pref",
+          expr("slice(sh, 1, size(sh) - CAST(ceil(size(sh) * 0.6) AS INT) + 1)"))
+      val pa = sh.select(col("doc_id").as("a_id"), explode(col("pref")).as("s"))
+      val pb = sh.select(col("doc_id").as("b_id"), explode(col("pref")).as("s"))
       val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
       val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .withColumn("inter", size(array_intersect(col("a_sh"), col("b_sh"))))
+      cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+        .select(col("a_id"), col("b_id"),
+          sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
+          col("na"), col("nb"))
         .withColumn("uni", col("na") + col("nb") - col("inter"))
         .where(col("inter") * 10 >= col("uni") * 6) // J >= 0.6, integer-exact
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
           (col("inter").cast("double") / col("uni")).as("jaccard"))
-        .orderBy("doc_a", "doc_b")
+        // result is tiny: shuffle it to one partition and sort there,
+        // avoiding both the global orderBy's range-sampling pass (which
+        // would re-run the pipeline) and coalesce(1)'s stage collapse
+        // (which would serialize the verification onto one task)
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
     "llm_simsearch_topk" -> ((s, dir) => {
