@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryUtils._
+import graft.functions.VectorFunctions.{sortedIntersectCount, vecDot, vecNorm}
+import graft.sources.Tables
+
+/** Scale-path training-data-pipeline operators, beyond the reference's
+  * own surface: sketch-based dedup (MinHash-LSH, SimHash), heuristic
+  * language ID, quality scoring, tokenizer counting, document
+  * fingerprinting, embedding near-dup, and IVF-style partitioned ANN.
+  *
+  * Every operator here is fully deterministic and cross-engine
+  * oracle-checkable: hash seeds are md5-derived 60-bit integers (both
+  * engines parse the same hex), all sketch arithmetic is integer mod a
+  * 31-bit prime (no overflow, no float divergence).
+  *
+  * 100 TB notes: MinHash-LSH is the linear-ish-cost near-dup path (the
+  * exact prefix-filter join in LlmQueries is the verification oracle);
+  * banding keys shuffle-partition naturally; SimHash is one map + two
+  * keyed aggs; IVF cells turn ANN from O(n²) into per-cell O(n·k) and
+  * map directly onto partition pruning when cells are storage keys.
+  */
+object ScaleQueries {
+
+  private val P = 2147483647L // 2^31 - 1
+
+  /** 60-bit integer hash of a string via md5 hex — identical in DuckDB
+    * as ('0x' || substr(md5(x),1,15))::BIGINT.
+    */
+  private def h60(c: String): String =
+    s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
+
+  private val mkShingles = udf { text: String =>
+    val t = text.split(' ')
+    if (t.length < 3) Array.empty[String]
+    else Array.range(0, t.length - 2)
+      .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
+      .distinct.sorted
+  }.asNondeterministic()
+
+  // synthetic-vocabulary language profiles (the test corpus shares one
+  // vocabulary across langs, so these are demonstration profiles — the
+  // operator shape is the real thing: per-profile hit counts + argmax)
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("batch", "group", "hash", "window"),
+    "en" -> Seq("the", "a", "data", "table"),
+    "es" -> Seq("query", "column", "filter", "row"),
+    "fr" -> Seq("merge", "order", "sort", "line"),
+    "zh" -> Seq("spark", "stream", "vector", "key"))
+
+  val queries: Map[String, QFn] = Map(
+    // ---- MinHash + LSH banding near-dup (16 hashes, 4 bands × 4 rows) --
+    "llm_dedup_minhash_lsh" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+        .where(size(col("sh")) >= 1)
+        .withColumn("n", size(col("sh")))
+      val th = sh.select(col("doc_id"), explode(col("sh")).as("s1"))
+        .withColumn("h", expr(s"${h60("s1")} % $P"))
+      val minhashAggs = (0 until 16).map { i =>
+        min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(P)).as(s"m$i")
+      }
+      val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bandStructs = (0 until 4).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws(":", (0 until 4).map(r => col(s"m${bd * 4 + r}").cast("string")): _*).as("sig"))
+      }
+      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
+      cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+        .select(col("a_id"), col("b_id"),
+          sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
+          col("na"), col("nb"))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .where(col("inter") * 10 >= col("uni") * 6)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+          (col("inter").cast("double") / col("uni")).as("jaccard"))
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    }),
+
+    // ---- 60-bit SimHash over distinct tokens ---------------------------
+    "llm_simhash" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .withColumn("h", expr(h60("t")))
+      val bits = tok.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 59), j -> struct(j AS j, " +
+          "CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS sgn))")).as("x"))
+        .select(col("doc_id"), col("x.j").as("j"), col("x.sgn").as("sgn"))
+      bits.groupBy("doc_id", "j").agg(sum("sgn").as("s"))
+        .groupBy("doc_id")
+        .agg(expr("sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)").as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- heuristic language ID: profile hit counts + alphabetic argmax -
+    "llm_langid" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .withColumn("tok", split(col("text"), " "))
+      val scored = langProfiles.foldLeft(base) { case (df, (lg, words)) =>
+        df.withColumn(s"s_$lg",
+          size(filter(col("tok"), x => x.isin(words.map(lit): _*))))
+      }
+      scored.select(
+        col("doc_id"), col("lang"),
+        col("s_de"), col("s_en"), col("s_es"), col("s_fr"), col("s_zh"),
+        when(col("s_de") >= greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_zh")), "de")
+          .when(col("s_en") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "en")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh").as("predicted"))
+        .withColumn("is_match", col("predicted") === col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- quality scoring: type-token ratio, stopword ratio, brevity ----
+    "llm_quality_score" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("tok", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("tok")))
+        .withColumn("n_distinct", size(array_distinct(col("tok"))))
+        .withColumn("stop_hits", size(filter(col("tok"), x => x.isin("the", "a"))))
+        .select(
+          col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"),
+          (col("n_distinct").cast("double") / col("n_tokens")).as("ttr"),
+          (col("stop_hits").cast("double") / col("n_tokens")).as("stop_ratio"),
+          (lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens"))
+            + lit(0.4) * (lit(1.0) - col("stop_hits").cast("double") / col("n_tokens"))
+            + lit(0.2) * least(col("n_tokens").cast("double") / 100.0, lit(1.0))).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- token counting: whitespace, regex lexer, bytes-per-token est --
+    "llm_token_count" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+            .cast("long").as("n_lex"),
+          ceil(col("n_chars") / 4.0).cast("long").as("n_bpe_est"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- position-weighted integer fingerprint -------------------------
+    "llm_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumn("h", expr(s"${h60("col")} % $P"))
+        .groupBy("doc_id")
+        .agg(sum((col("pos") + 1) * col("h")).as("fingerprint"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- embedding-cosine near-dup pairs (threshold calibrated to data)
+    "llm_dedup_embcos" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("nrm").as("a_n"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("nrm").as("b_n"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
+        .where(col("cos_sim") >= 0.4)
+        .repartition(1).sortWithinPartitions("a_id", "b_id")
+    }),
+
+    // ---- IVF-style ANN: sign-cells as a coarse quantizer, probe 1 cell -
+    "llm_ann_ivf" -> ((s, dir) => {
+      val cellExpr =
+        (when(element_at(col("embedding"), 1) > 0f, 2).otherwise(0)
+          + when(element_at(col("embedding"), 2) > 0f, 1).otherwise(0)).as("cell")
+      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), cellExpr)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("cell").as("qcell"))
+      e.where(col("vec_id") =!= 0)
+        .join(broadcast(q), col("cell") === col("qcell"))
+        .select(col("vec_id"), col("cell"),
+          (vecDot(col("embedding"), col("qv"))
+            / (vecNorm(col("embedding")) * vecNorm(col("qv")))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // ---- opaque-bytes column plumbing (text → utf8 bytes) --------------
+    "llm_multimodal_bytes" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          md5(col("text")).as("content_md5"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 3),
+      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok) - 2),
+      |        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) sh FROM t)""".stripMargin
+
+  private val minhashOracle =
+    shingleCte +
+      """,
+        |ex AS (SELECT doc_id, unnest(sh) s1 FROM s),
+        |th AS (SELECT doc_id, ('0x' || substr(md5(s1), 1, 15))::BIGINT % 2147483647 AS h FROM ex),
+        |seeds AS (SELECT unnest(generate_series(0, 15)) i),
+        |mh AS (SELECT doc_id, i, min(((2*i + 1) * h + (i*12345 + 1)) % 2147483647) m
+        |       FROM th CROSS JOIN seeds GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 4 AS band, string_agg(m::VARCHAR, ':' ORDER BY i) sig
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id
+        |         FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |         WHERE a.doc_id < b.doc_id),
+        |v AS (SELECT a_id, b_id,
+        |        len(list_intersect(sa.sh, sb.sh)) inter,
+        |        len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) uni
+        |      FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+        |SELECT a_id AS doc_a, b_id AS doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+        |FROM v WHERE inter * 10 >= uni * 6 ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashOracle =
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) t FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |           CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END sgn
+      |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j)),
+      |sums AS (SELECT doc_id, j, CAST(SUM(sgn) AS BIGINT) s FROM bits GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val langidOracle = {
+    val hits = langProfiles.map { case (lg, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x IN ($inList))) AS INT) AS s_$lg"
+    }.mkString(",\n  ")
+    s"""WITH sc AS (SELECT doc_id, lang,
+       |  $hits
+       |FROM documents)
+       |SELECT doc_id, lang, s_de, s_en, s_es, s_fr, s_zh,
+       |  CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS predicted,
+       |  (CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+       |       WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END) = lang AS is_match
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  private val annIvfOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ev,
+      |    (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
+      |     + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS cell
+      |  FROM embeddings),
+      |q AS (SELECT ev qv, cell qcell FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id, e.cell,
+      |  list_aggregate(list_transform(list_zip(e.ev, q.qv), p -> p[1] * p[2]), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(e.ev, x -> x * x), 'sum')) *
+      |   sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos_sim
+      |FROM e, q WHERE e.vec_id <> 0 AND e.cell = q.qcell
+      |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "llm_dedup_minhash_lsh" -> minhashOracle,
+    "llm_simhash" -> simhashOracle,
+    "llm_langid" -> langidOracle,
+
+    "llm_quality_score" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS ttr,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |    / len(string_split(text, ' ')) AS stop_ratio,
+        |  0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / len(string_split(text, ' ')))
+        |  + 0.4 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |           / len(string_split(text, ' ')))
+        |  + 0.2 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_lex,
+        |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(SUM(i * (('0x' || substr(md5(tok[i]), 1, 15))::BIGINT % 2147483647)) AS BIGINT) AS fingerprint,
+        |  count(*) AS n_tokens
+        |FROM (SELECT doc_id, string_split(text, ' ') tok FROM documents),
+        |  UNNEST(generate_series(1, len(tok))) AS u(i)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_embcos" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ev FROM embeddings),
+        |n AS (SELECT vec_id, ev, sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) nrm FROM e)
+        |SELECT a.vec_id a_id, b.vec_id b_id,
+        |  list_aggregate(list_transform(list_zip(a.ev, b.ev), z -> z[1] * z[2]), 'sum')
+        |    / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_aggregate(list_transform(list_zip(a.ev, b.ev), z -> z[1] * z[2]), 'sum')
+        |    / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "llm_ann_ivf" -> annIvfOracle,
+
+    "llm_multimodal_bytes" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
