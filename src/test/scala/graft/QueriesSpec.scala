@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared query executes at sf0.001 with a sane result; spot
+  * anchors are hand-derived from FIXTURES.md.
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry smoke: flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query implementation") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf0001)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("anchor: lineitem returnflag counts at sf0.001") {
+    val rows = SparkEntry.queries("agg_rollup")(spark, sf0001).collect()
+    val byFlag = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(byFlag == Map("A" -> 1962L, "N" -> 2070L, "R" -> 1968L))
+  }
+
+  test("anchor: scan_lineitem_full row count at sf0.001") {
+    assert(SparkEntry.queries("scan_lineitem_full")(spark, sf0001).count() == 6000L)
+  }
+
+  test("anchor: near-dup jaccards are within [0.6, 1]") {
+    val j = SparkEntry.queries("llm_dedup_near")(spark, sf0001)
+      .collect().map(_.getDouble(2))
+    assert(j.forall(x => x >= 0.6 && x <= 1.0 + 1e-12))
+  }
+
+  test("anchor: minhash-LSH candidates are a subset of exact near-dups") {
+    val exact = SparkEntry.queries("llm_dedup_near")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("llm_dedup_minhash_lsh")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("anchor: simsearch cosine bounded and self excluded") {
+    val rows = SparkEntry.queries("llm_simsearch_topk")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-9))
+    assert(!rows.exists(_.getLong(0) == 0L))
+  }
+
+  test("anchor: approx distinct within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("agg_approx_distinct")(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.sources.Tables.events(spark, sf001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      assert(math.abs(approx(k) - e).toDouble / e <= 0.05,
+        s"$k: approx=${approx(k)} exact=$e")
+    }
+  }
+}

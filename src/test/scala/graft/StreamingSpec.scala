@@ -1,0 +1,91 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+
+/** True Structured Streaming behavior of the shapes §2.J pins as batch
+  * queries: watermarked tumbling windows with late-data drop, stateful
+  * dedup within a watermark, and session windows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("watermarked tumbling window drops late data in append mode") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:05:00"), 1, 1.0), Ev(ts("2024-01-01 10:20:00"), 2, 1.0))
+      q.processAllAvailable()
+      // advance watermark beyond 11:00 so the 10:00 window closes
+      ms.addData(Ev(ts("2024-01-01 12:30:00"), 3, 1.0))
+      q.processAllAvailable()
+      // late arrival for the closed 10:00 window: must be dropped
+      ms.addData(Ev(ts("2024-01-01 10:40:00"), 4, 1.0))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 14:00:00"), 5, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+      assert(rows("2024-01-01 10:00:00.0") == 2L) // late row 4 not counted
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups inside the horizon") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val dedup = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id")
+    val q = dedup.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 10:00:00"), 7, 1.0),
+        Ev(ts("2024-01-01 10:10:00"), 7, 2.0), // dup within watermark
+        Ev(ts("2024-01-01 10:20:00"), 8, 3.0))
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 2L, s"expected 2 deduped rows, got $n")
+    } finally q.stop()
+  }
+
+  test("session_window groups events with 30-minute gaps") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val sess = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("n"))
+    val q = sess.writeStream.format("memory").queryName("session_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(ts("2024-01-01 10:10:00"), 1, 1.0), // same session
+        Ev(ts("2024-01-01 11:30:00"), 1, 1.0)) // new session (gap > 30 min)
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 15:00:00"), 2, 1.0)) // close sessions via watermark
+      q.processAllAvailable()
+      val byN = spark.table("session_out")
+        .collect().filter(_.getLong(0) == 1L).map(_.getLong(1)).sorted.toSeq
+      assert(byN == Seq(1L, 2L), s"expected sessions of 1 and 2 events, got $byN")
+    } finally q.stop()
+  }
+}
