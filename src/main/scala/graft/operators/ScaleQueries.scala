@@ -88,17 +88,19 @@ object ScaleQueries {
     }),
 
     // ---- 60-bit SimHash over distinct tokens ---------------------------
+    // one shuffle: 60 inline ±1 sums per doc (no per-bit row explosion),
+    // then the signature folds from the 60 sum columns map-side
     "llm_simhash" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
         .withColumn("h", expr(h60("t")))
-      val bits = tok.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 59), j -> struct(j AS j, " +
-          "CASE WHEN (h div CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS sgn))")).as("x"))
-        .select(col("doc_id"), col("x.j").as("j"), col("x.sgn").as("sgn"))
-      bits.groupBy("doc_id", "j").agg(sum("sgn").as("s"))
-        .groupBy("doc_id")
-        .agg(expr("sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)").as("simhash"))
+      val bitSums = (0 until 60).map { j =>
+        sum(expr(s"CASE WHEN (h div ${1L << j}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j")
+      }
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     }),
 

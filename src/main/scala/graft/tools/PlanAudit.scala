@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints condensed physical-plan facts for representative queries:
+  * parquet pushdown (PushedFilters / ReadSchema), join strategies, and
+  * whole-stage-codegen coverage. Run: sbt "runMain graft.tools.PlanAudit"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq(
+      "scan_projection", "filter_simple", "join_broadcast", "join_star_5way",
+      "topk_global", "agg_groupby_pricing", "llm_simsearch_topk", "llm_dedup_near")
+    for (name <- interesting) {
+      val plan = graft.SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val facts = plan.linesIterator.map(_.trim).flatMap { l =>
+        val pf = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(l)
+        val rs = "ReadSchema: [^,\\s]*".r.findFirstIn(l)
+        val j = if (l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin")
+          || l.contains("TakeOrderedAndProject")) Some(l.take(150)) else None
+        pf.toSeq ++ rs.toSeq ++ j.toSeq
+      }.toSeq.distinct
+      val wsc = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSeq
+        .distinct.size
+      println(s"== $name (whole-stage-codegen spans: $wsc)")
+      facts.foreach(f => println(s"   $f"))
+    }
+    spark.stop()
+  }
+}
