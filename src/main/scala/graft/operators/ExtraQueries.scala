@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryUtils._
+import graft.sources.Tables
+
+/** Second-wave analytics surface: median/deterministic-mode, unpivot
+  * (melt), nth_value / ignore-nulls windows, exists/forall higher-order
+  * predicates, and the stack row-generator.
+  */
+object ExtraQueries {
+
+  val queries: Map[String, QFn] = Map(
+    "agg_median_mode" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+          r4(median(col("value"))).as("med_value"),
+          mode(col("k"), deterministic = true).as("mode_k"))
+        .orderBy("event_type")
+    }),
+
+    "agg_unpivot" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice").as("total"),
+          (col("o_totalprice") * 2).as("double_total"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("total"), col("double_total")), "metric", "v")
+        .orderBy("o_orderkey", "metric")
+    }),
+
+    "win_nth_value" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .withColumn("prio", nullif(col("o_orderpriority"), lit("5-LOW")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          nth_value(col("o_orderkey"), 2).over(wf).as("second_order"),
+          lag(col("prio"), 1, null, ignoreNulls = true).over(w).as("prev_prio"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "fn_hof_exists" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .withColumn("dbl", transform(col("embedding"), x => x.cast("double")))
+        .select(col("vec_id"),
+          exists(col("dbl"), x => x > 2.0).as("has_big"),
+          forall(col("dbl"), x => x < 10.0).as("all_small"),
+          size(filter(col("dbl"), x => x > 0.0)).cast("long").as("n_pos"))
+        .orderBy("vec_id")
+    }),
+
+    "gen_stack" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .selectExpr("o_orderkey",
+          "stack(2, 'half', o_totalprice / 2, 'total', o_totalprice) AS (metric, v)")
+        .orderBy("o_orderkey", "metric")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // DuckDB mode() keeps first-encountered on ties (order-dependent), so
+    // the oracle computes the deterministic form directly: min value
+    // among the most frequent — matching Spark's mode(e, deterministic).
+    "agg_median_mode" ->
+      """WITH med AS (
+        |  SELECT event_type, round(median(value), 4) AS med_value FROM events GROUP BY 1),
+        |km AS (
+        |  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) k, count(*) n
+        |  FROM events GROUP BY 1, 2),
+        |mo AS (
+        |  SELECT event_type, min(k) AS mode_k FROM (
+        |    SELECT *, max(n) OVER (PARTITION BY event_type) mx FROM km)
+        |  WHERE n = mx GROUP BY event_type)
+        |SELECT med.event_type, med.med_value, mo.mode_k
+        |FROM med JOIN mo USING (event_type) ORDER BY event_type""".stripMargin,
+
+    "agg_unpivot" ->
+      """SELECT o_orderkey, metric, v FROM (
+        |  UNPIVOT (SELECT o_orderkey, o_totalprice AS total, o_totalprice * 2 AS double_total
+        |           FROM orders)
+        |  ON total, double_total INTO NAME metric VALUE v)
+        |ORDER BY o_orderkey, metric""".stripMargin,
+
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_order,
+        |  lag(NULLIF(o_orderpriority, '5-LOW') IGNORE NULLS) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_prio
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "fn_hof_exists" ->
+      """SELECT vec_id,
+        |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 2.0)) > 0 AS has_big,
+        |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> NOT (x < 10.0))) = 0 AS all_small,
+        |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0.0)) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "gen_stack" ->
+      """SELECT o_orderkey, 'half' AS metric, o_totalprice / 2 AS v FROM orders
+        |UNION ALL
+        |SELECT o_orderkey, 'total' AS metric, o_totalprice AS v FROM orders
+        |ORDER BY o_orderkey, metric""".stripMargin
+  )
+}
