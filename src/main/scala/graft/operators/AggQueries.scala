@@ -244,7 +244,7 @@ object AggQueries {
 
     "agg_conditional" ->
       """SELECT o_orderpriority,
-        |  count_if(o_totalprice > 100000.0) AS n_big,
+        |  CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
         |  CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
         |  bool_and(o_totalprice > 1000.0) AS all_over_1k,
         |  bool_or(o_totalprice > 400000.0) AS any_huge,

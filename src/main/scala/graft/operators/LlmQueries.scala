@@ -140,7 +140,7 @@ object LlmQueries {
       tf.where(col("doc_id") < 20)
         .join(dft, "term").crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 5)
         .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
           r4(col("tfidf")).as("tfidf"))

@@ -22,7 +22,7 @@ object WindowQueries {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
-          row_number().over(w).as("rn"))
+          row_number().over(w).cast("long").as("rn"))
         .orderBy("o_custkey", "rn")
     }),
 
@@ -30,8 +30,8 @@ object WindowQueries {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"))
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
@@ -39,7 +39,7 @@ object WindowQueries {
       val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).as("quartile"),
+          ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -102,7 +102,7 @@ object WindowQueries {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       Tables.orders(s, dir)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 3)
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
