@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Scale-behavior dry run: replays headline shapes at 1×..K× the sf0.1
+  * fact volume (self-union keeps the data columnar in memory of the
+  * scan; no files are written) and prints the wall-time curve. Linear
+  * growth here = no super-linear operator in the plan (the property
+  * that must hold at 100 TB). Run: sbt "runMain graft.tools.ScaleDryRun"
+  */
+object ScaleDryRun {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def rep(df: DataFrame, k: Int): DataFrame =
+      Seq.fill(k)(df).reduce(_ unionAll _)
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val customer = graft.sources.Tables.customer(spark, dir)
+
+    def q1(k: Int): Long = rep(li, k)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType),
+        count(lit(1))).count()
+
+    def join3(k: Int): Long = rep(li, k)
+      .join(rep(orders, k).hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1))).count()
+
+    q1(1); join3(1) // JIT warm-up
+    for (k <- Seq(1, 2, 4, 8)) {
+      val t1 = time(q1(k))
+      val t2 = time(join3(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s")
+    }
+    spark.stop()
+  }
+}
