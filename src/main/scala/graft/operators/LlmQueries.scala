@@ -63,9 +63,15 @@ object LlmQueries {
       // (the per-doc shingle table is tiny relative to the pair stream —
       // at cluster scale this is the classic big-fact/small-dim shape).
       import graft.functions.VectorFunctions.sortedIntersectCount
+      // the corpus arrives as one small file (1-3 input splits), but the
+      // candidate join + verification that chain onto the scan stage are
+      // CPU-heavy: spread them over all cores with an explicit-width
+      // shuffle (a bare repartition(col) would be AQE-coalesced right
+      // back down, since the data is tiny even when the CPU cost isn't)
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), mkShingles(col("text")).as("sh"))
         .where(size(col("sh")) >= 1)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("n", size(col("sh")))
         .withColumn("pref",
           expr("slice(sh, 1, size(sh) - CAST(ceil(size(sh) * 0.6) AS INT) + 1)"))

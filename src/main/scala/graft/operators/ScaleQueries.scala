@@ -168,8 +168,11 @@ object ScaleQueries {
 
     // ---- embedding-cosine near-dup pairs (threshold calibrated to data)
     "llm_dedup_embcos" -> ((s, dir) => {
+      // explicit-width repartition: the O(n²) pair loop must not run on
+      // the scan stage's 1-3 input splits (AQE won't widen a tiny input)
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("nrm").as("a_n"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("nrm").as("b_n"))
       a.join(b, col("a_id") < col("b_id"))
