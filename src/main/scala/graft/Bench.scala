@@ -17,6 +17,10 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
       }
+      // drop warm-up garbage (and let the ContextCleaner release its
+      // broadcasts) so the first timed query doesn't pay a full GC
+      System.gc()
+      Thread.sleep(500)
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
