@@ -11,10 +11,10 @@ import graft.sources.Tables
   *
   * Scale design (100 TB):
   *  - `llm_dedup_near` is a prefix-filtered (PPJoin-style) exact shingle
-  *    Jaccard join: shingles are globally ordered by ascending document
-  *    frequency and only each document's rarest prefix is exploded for
-  *    candidate generation, so candidate volume tracks true near-dup
-  *    density instead of O(n²). The DuckDB oracle brute-forces the same
+  *    Jaccard join: under a fixed global shingle order, only each
+  *    document's order-minimal prefix is exploded for candidate
+  *    generation, so candidate volume tracks true near-dup density
+  *    instead of O(n²). The DuckDB oracle brute-forces the same
   *    semantics — prefix filtering at threshold t is lossless.
   *  - vector similarity uses the codegen'd FloatVecDot expression, not
   *    interpreted lambdas (see VectorFunctions).
@@ -51,23 +51,20 @@ object LlmQueries {
 
     "llm_dedup_near" -> ((s, dir) => {
       // Prefix filtering is lossless under ANY fixed global shingle order;
-      // lexicographic keeps this a single-scan pipeline. (On a Zipfian
-      // 100 TB vocabulary, order prefixes by ascending document frequency
+      // lexicographic keeps this a single-scan pipeline, and a prefix of
+      // length n - ceil(0.6 n) + 1 guarantees any pair with J >= 0.6
+      // shares at least one prefix shingle. (On a Zipfian 100 TB
+      // vocabulary, order prefixes by ascending document frequency
       // instead — classic PPJoin — at the cost of one extra agg+join.)
-      // Prefix length n - ceil(0.6 n) + 1 guarantees any pair with J >= 0.6
-      // shares at least one prefix shingle. The sorted full array rides
-      // along through the one equi-join, so verification is a single
-      // merge-pass SortedIntersectCount with no re-join.
-      // The candidate join stays skinny ((id, shingle) pairs only); the
-      // full sorted shingle arrays are attached afterwards via broadcast
-      // (the per-doc shingle table is tiny relative to the pair stream —
-      // at cluster scale this is the classic big-fact/small-dim shape).
+      // The candidate join stays skinny ((id, shingle) pairs only); full
+      // sorted shingle arrays are re-attached by broadcast and verified
+      // with one merge-pass SortedIntersectCount per candidate.
       import graft.functions.VectorFunctions.sortedIntersectCount
-      // the corpus arrives as one small file (1-3 input splits), but the
+      // The corpus arrives as one small file (1-3 input splits), but the
       // candidate join + verification that chain onto the scan stage are
       // CPU-heavy: spread them over all cores with an explicit-width
       // shuffle (a bare repartition(col) would be AQE-coalesced right
-      // back down, since the data is tiny even when the CPU cost isn't)
+      // back down, since the data is tiny even when the CPU cost isn't).
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), mkShingles(col("text")).as("sh"))
         .where(size(col("sh")) >= 1)
