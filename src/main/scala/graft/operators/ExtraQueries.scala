@@ -53,6 +53,26 @@ object ExtraQueries {
         .orderBy("vec_id")
     }),
 
+    "fn_levenshtein" -> ((s, dir) => {
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("dist"),
+          levenshtein(col("p_brand"), lit("Brand#1")).cast("long").as("dist_brand"))
+        .orderBy("p_partkey")
+    }),
+
+    "fn_trig" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          r4(sin(col("l_discount"))).as("sin_d"),
+          r4(cos(col("l_discount"))).as("cos_d"),
+          r4(tan(col("l_discount"))).as("tan_d"),
+          r4(atan2(col("l_discount"), lit(1.0))).as("atan2_d"),
+          r4(degrees(col("l_discount"))).as("deg_d"),
+          r4(radians(col("l_tax"))).as("rad_t"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "gen_stack" -> ((s, dir) => {
       Tables.orders(s, dir)
         .selectExpr("o_orderkey",
@@ -100,6 +120,22 @@ object ExtraQueries {
         |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> NOT (x < 10.0))) = 0 AS all_small,
         |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0.0)) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "fn_levenshtein" ->
+      """SELECT p_partkey,
+        |  levenshtein(p_name, p_type) AS dist,
+        |  levenshtein(p_brand, 'Brand#1') AS dist_brand
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "fn_trig" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sin(l_discount), 4) AS sin_d,
+        |  round(cos(l_discount), 4) AS cos_d,
+        |  round(tan(l_discount), 4) AS tan_d,
+        |  round(atan2(l_discount, 1.0), 4) AS atan2_d,
+        |  round(degrees(l_discount), 4) AS deg_d,
+        |  round(radians(l_tax), 4) AS rad_t
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "gen_stack" ->
       """SELECT o_orderkey, 'half' AS metric, o_totalprice / 2 AS v FROM orders

@@ -58,6 +58,7 @@ object ScaleQueries {
         .where(size(col("sh")) >= 1)
         .withColumn("n", size(col("sh")))
       val th = sh.select(col("doc_id"), explode(col("sh")).as("s1"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("h", expr(s"${h60("s1")} % $P"))
       val minhashAggs = (0 until 16).map { i =>
         min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(P)).as(s"m$i")
@@ -93,6 +94,7 @@ object ScaleQueries {
     "llm_simhash" -> ((s, dir) => {
       val tok = Tables.documents(s, dir)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("h", expr(h60("t")))
       val bitSums = (0 until 60).map { j =>
         sum(expr(s"CASE WHEN (h div ${1L << j}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j")
@@ -102,6 +104,44 @@ object ScaleQueries {
           (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
             .reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
+    }),
+
+    // ---- banded SimHash near-dup pairs (lossless 4×15-bit LSH) ---------
+    // pigeonhole: Hamming(a,b) <= 3 over 4 disjoint 15-bit bands forces
+    // at least one band to match exactly, so the band-equality join finds
+    // every qualifying pair — exact semantics, sub-quadratic candidates
+    "llm_dedup_simhash" -> ((s, dir) => {
+      val th = Tables.documents(s, dir)
+        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+        .where(size(col("sh")) >= 1)
+        .select(col("doc_id"), explode(col("sh")).as("s1"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("h", expr(h60("s1")))
+      val bitSums = (0 until 60).map { j =>
+        sum(expr(s"CASE WHEN (h div ${1L << j}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j")
+      }
+      val sim = th.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"),
+          (0 until 60).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+            .reduce(_ + _).as("simhash"))
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("bval"))
+      }
+      val bands = sim.select(col("doc_id"), explode(array(bandStructs: _*)).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.bval").as("bval"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("bval"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("bval")),
+          Seq("band", "bval"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sa = sim.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
+      val sb = sim.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"))
+      cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+        .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("int"))
+        .where(col("hamming") <= 3)
+        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("hamming"))
+        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
     }),
 
     // ---- heuristic language ID: profile hit counts + alphabetic argmax -
@@ -281,9 +321,28 @@ object ScaleQueries {
       |FROM e, q WHERE e.vec_id <> 0 AND e.cell = q.qcell
       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
+  private val simhashPairsOracle =
+    shingleCte +
+      """,
+        |ex AS (SELECT doc_id, unnest(sh) s1 FROM s),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s1), 1, 15))::BIGINT AS h FROM ex),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END sgn
+        |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j)),
+        |sums AS (SELECT doc_id, j, CAST(SUM(sgn) AS BIGINT) sm FROM bits GROUP BY 1, 2),
+        |sim AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN sm > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM sums GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "llm_dedup_minhash_lsh" -> minhashOracle,
     "llm_simhash" -> simhashOracle,
+    "llm_dedup_simhash" -> simhashPairsOracle,
     "llm_langid" -> langidOracle,
 
     "llm_quality_score" ->
