@@ -73,6 +73,17 @@ object ExtraQueries {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // top-3 orders per customer via the custom TopKPerGroupExec physical
+    // operator (bounded per-group heaps) — same semantics as
+    // win_topk_per_group's window+filter form, different engine path
+    "win_topk_custom" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.GraftOps.topKPerGroup(o,
+        Seq("o_custkey"),
+        Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+        .orderBy(col("o_custkey").asc, col("o_totalprice").desc, col("o_orderkey").asc)
+    }),
+
     "gen_stack" -> ((s, dir) => {
       Tables.orders(s, dir)
         .selectExpr("o_orderkey",
@@ -136,6 +147,14 @@ object ExtraQueries {
         |  round(degrees(l_discount), 4) AS deg_d,
         |  round(radians(l_tax), 4) AS rad_t
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "win_topk_custom" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey ASC, o_totalprice DESC, o_orderkey ASC""".stripMargin,
 
     "gen_stack" ->
       """SELECT o_orderkey, 'half' AS metric, o_totalprice / 2 AS v FROM orders
