@@ -51,6 +51,31 @@ class ExtensionsAndStreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (purchase -> error within 1 day)") {
+    val p = StreamOps.eventsStream(spark, eventsLogDir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 days")
+    val x = StreamOps.eventsStream(spark, eventsLogDir)
+      .where(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id").as("uid2"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "2 days")
+    val joined = p.join(x,
+      col("user_id") === col("uid2")
+        && col("e_ts") > col("p_ts")
+        && col("e_ts") <= col("p_ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 DAY"))
+    assert(joined.isStreaming)
+    val q = joined.writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ss_join_out").count()
+      // must equal the batch range-join declared query on the same data
+      val batch = SparkEntry.queries("join_range_interval")(spark, sf0001).count()
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("dedupWithinWatermark is streaming-valid") {
     val stream = StreamOps.eventsStream(spark, eventsLogDir)
     val dedup = StreamOps.dedupWithinWatermark(stream, "1 hour", Seq("user_id", "event_type"))

@@ -42,6 +42,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.where(col("st").isNull).count() == o.where(col("st").isNull).count())
   }
 
+  test("orc round-trip preserves rows, schema and timestamps") {
+    val out = tmpDir() + "/orders_orc"
+    val o = graft.sources.Tables.orders(spark, sf0001)
+    o.write.orc(out)
+    val back = spark.read.orc(out)
+    assert(back.schema == o.schema)
+    assert(back.orderBy("o_orderkey").collect().toSeq ==
+      o.orderBy("o_orderkey").collect().toSeq)
+  }
+
+  test("text source reads raw lines") {
+    val out = tmpDir() + "/docs_text"
+    val d = graft.sources.Tables.documents(spark, sf0001).select("text")
+    d.write.text(out)
+    val back = spark.read.text(out)
+    assert(back.count() == d.count())
+    assert(back.columns.toSeq == Seq("value"))
+  }
+
   test("events loader recovers microsecond timestamps from nanos") {
     val e = graft.sources.Tables.events(spark, sf0001)
     assert(e.schema("ts").dataType == TimestampNTZType)
