@@ -17,6 +17,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("category maps have no colliding query names (++ would drop them)") {
+    import graft.operators._
+    import graft.functions.{FnQueries, UdfQueries}
+    import graft.streaming.StreamQueries
+    val cats = Seq(
+      ScanFilterQueries.queries, JoinQueries.queries, AggQueries.queries,
+      WindowQueries.queries, SetQueries.queries, FnQueries.queries,
+      GenQueries.queries, StreamQueries.queries, LlmQueries.queries,
+      UdfQueries.queries, ScaleQueries.queries, ExtraQueries.queries)
+    assert(cats.map(_.size).sum == SparkEntry.queries.size,
+      "duplicate query name across category objects")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf0001)
