@@ -143,7 +143,9 @@ object FnQueries {
           col("source"),
           map_keys(col("m")).as("langs"),
           map_values(col("m")).as("counts"),
-          element_at(col("m"), "en").as("en_count"))
+          // try_element_at: ANSI-mode element_at throws on a missing map
+          // key; the oracle's MAX(CASE...) yields NULL for en-less groups
+          try_element_at(col("m"), lit("en")).as("en_count"))
         .orderBy("source")
     }),
 

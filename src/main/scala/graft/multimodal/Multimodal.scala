@@ -33,8 +33,11 @@ object Multimodal {
   /** Metadata + fixed-dim feature vector. */
   case class MediaFeature(media_id: Long, kind: String, feature: Array[Float])
 
-  /** Fake 8-byte header: [magic, kindCode, w_hi, w_lo, h_hi, h_lo, sr_hi, sr_lo].
-    * A real implementation replaces this with an image/audio codec call.
+  /** Fake 8-byte header:
+    * [magic, payload, w_hi, w_lo, h_hi, h_lo, sr_hi, sr_lo], where
+    * `payload` (byte 1) is kind-specific: the frame count for video,
+    * unused otherwise. A real implementation replaces this with an
+    * image/audio codec call.
     */
   def decodeHeader(item: MediaItem): MediaMeta = {
     val b = item.content

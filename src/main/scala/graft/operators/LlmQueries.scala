@@ -23,23 +23,7 @@ import graft.sources.Tables
   */
 object LlmQueries {
 
-  /** Sorted distinct 3-token shingles per doc, as a compiled Scala UDF.
-    *
-    * Why a UDF and not `transform(sequence(...))`: higher-order builtins
-    * interpret their lambda per element, and — worse — the generator's
-    * implicit `size(...)>0` filter gets predicate-pushed below the
-    * projection, duplicating the whole shingle expression ~4× per row
-    * (measured 5 s vs 0.2 s on sf0.1). The UDF runs compiled string ops
-    * and is marked non-deterministic solely to stop the optimizer from
-    * duplicating it into pushed-down filters; its output is deterministic.
-    */
-  private val mkShingles = udf { text: String =>
-    val t = text.split(' ')
-    if (t.length < 3) Array.empty[String]
-    else Array.range(0, t.length - 2)
-      .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
-      .distinct.sorted
-  }.asNondeterministic()
+  import graft.functions.TextShingles.{mkShingles, verifyJaccard06}
 
   val queries: Map[String, QFn] = Map(
     "llm_dedup_exact" -> ((s, dir) => {
@@ -58,8 +42,8 @@ object LlmQueries {
       // instead — classic PPJoin — at the cost of one extra agg+join.)
       // The candidate join stays skinny ((id, shingle) pairs only); full
       // sorted shingle arrays are re-attached by broadcast and verified
-      // with one merge-pass SortedIntersectCount per candidate.
-      import graft.functions.VectorFunctions.sortedIntersectCount
+      // with one merge-pass SortedIntersectCount per candidate
+      // (TextShingles.verifyJaccard06, shared with the LSH operators).
       // The corpus arrives as one small file (1-3 input splits), but the
       // candidate join + verification that chain onto the scan stage are
       // CPU-heavy: spread them over all cores with an explicit-width
@@ -76,21 +60,7 @@ object LlmQueries {
       val pb = sh.select(col("doc_id").as("b_id"), explode(col("pref")).as("s"))
       val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
-      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
-      cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
-        .select(col("a_id"), col("b_id"),
-          sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
-          col("na"), col("nb"))
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
-        .where(col("inter") * 10 >= col("uni") * 6) // J >= 0.6, integer-exact
-        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
-          (col("inter").cast("double") / col("uni")).as("jaccard"))
-        // result is tiny: shuffle it to one partition and sort there,
-        // avoiding both the global orderBy's range-sampling pass (which
-        // would re-run the pipeline) and coalesce(1)'s stage collapse
-        // (which would serialize the verification onto one task)
-        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+      verifyJaccard06(cand, sh)
     }),
 
     "llm_simsearch_topk" -> ((s, dir) => {
@@ -175,9 +145,8 @@ object LlmQueries {
   )
 
   private val dupNearOracle =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents WHERE len(string_split(text, ' ')) >= 3),
-      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok) - 2),
-      |        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) sh FROM t),
+    graft.functions.TextShingles.duckShingleCte +
+    """,
       |p AS (SELECT a.doc_id a_id, b.doc_id b_id,
       |        len(list_intersect(a.sh, b.sh)) inter,
       |        len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) uni

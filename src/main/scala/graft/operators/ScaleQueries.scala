@@ -32,13 +32,7 @@ object ScaleQueries {
   private def h60(c: String): String =
     s"CAST(conv(substring(md5($c), 1, 15), 16, 10) AS BIGINT)"
 
-  private val mkShingles = udf { text: String =>
-    val t = text.split(' ')
-    if (t.length < 3) Array.empty[String]
-    else Array.range(0, t.length - 2)
-      .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2))
-      .distinct.sorted
-  }.asNondeterministic()
+  import graft.functions.TextShingles.{duckShingleCte, mkShingles, verifyJaccard06}
 
   // synthetic-vocabulary language profiles (the test corpus shares one
   // vocabulary across langs, so these are demonstration profiles — the
@@ -75,17 +69,7 @@ object ScaleQueries {
           Seq("band", "sig"))
         .where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
-      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
-      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
-      cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
-        .select(col("a_id"), col("b_id"),
-          sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
-          col("na"), col("nb"))
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
-        .where(col("inter") * 10 >= col("uni") * 6)
-        .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
-          (col("inter").cast("double") / col("uni")).as("jaccard"))
-        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+      verifyJaccard06(cand, sh)
     }),
 
     // ---- 60-bit SimHash over distinct tokens ---------------------------
@@ -249,11 +233,7 @@ object ScaleQueries {
     })
   )
 
-  private val shingleCte =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 3),
-      |s AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(tok) - 2),
-      |        i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) sh FROM t)""".stripMargin
+  private val shingleCte = duckShingleCte
 
   private val minhashOracle =
     shingleCte +

@@ -25,7 +25,18 @@ object SkewUtils {
       leftKey: String, rightKey: String,
       n: Int, saltOn: Seq[Column] = Seq.empty): DataFrame = {
     require(n > 0, "salt fan-out must be positive")
-    val saltCols = if (saltOn.nonEmpty) saltOn else left.columns.toSeq.map(col)
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "inputs must not already carry a __salt column")
+    // default salt: every hashable left column (maps are not hashable);
+    // note that fully identical duplicate rows still share a salt — pass
+    // an explicit high-cardinality saltOn if the hot key's rows are
+    // byte-identical
+    val saltCols =
+      if (saltOn.nonEmpty) saltOn
+      else left.schema.fields
+        .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+        .map(f => col(f.name)).toSeq
+    require(saltCols.nonEmpty, "no hashable columns to salt on; pass saltOn explicitly")
     val l = left.withColumn("__salt", pmod(xxhash64(saltCols: _*), lit(n.toLong)).cast("int"))
     val r = right.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
     l.join(r, l(leftKey) === r(rightKey) && l("__salt") === r("__salt"), "inner")

@@ -46,13 +46,20 @@ case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
 
+  // SQL group semantics for floats: -0.0 groups with 0.0 and all NaN bit
+  // patterns group together. Joins/aggregates get this from the
+  // NormalizeFloatingNumbers rule; a custom node must normalize itself,
+  // both for the hash partitioning and for the in-task map key.
+  private lazy val normalizedGroup: Seq[Expression] =
+    groupExprs.map(ColumnBridge.normalizeFloats)
+
   override def requiredChildDistribution: Seq[Distribution] =
     if (groupExprs.isEmpty) AllTuples :: Nil
-    else ClusteredDistribution(groupExprs) :: Nil
+    else ClusteredDistribution(normalizedGroup) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output
-    val (g, o, kk) = (groupExprs, orderExprs, k)
+    val (g, o, kk) = (normalizedGroup, orderExprs, k)
     child.execute().mapPartitions({ iter =>
       val groupProj = UnsafeProjection.create(g, schema)
       val ordering: Ordering[InternalRow] = RowOrdering.create(o, schema)
@@ -111,10 +118,14 @@ object GraftOps {
         spark.experimental.extraStrategies :+ TopKPerGroupStrategy
     }
     val child = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      child.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${child.output.map(_.name).mkString(", ")}"))
+    val resolver = spark.sessionState.analyzer.resolver
+    def attr(name: String): Attribute = {
+      val matches = child.output.filter(a => resolver(a.name, name))
+      require(matches.nonEmpty,
+        s"column $name not in ${child.output.map(_.name).mkString(", ")}")
+      require(matches.size == 1, s"column $name is ambiguous (${matches.size} matches)")
+      matches.head
+    }
     val sortOrders = orderCols.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }

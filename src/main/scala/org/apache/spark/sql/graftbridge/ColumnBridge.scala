@@ -13,6 +13,12 @@ object ColumnBridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** SQL float-grouping normalization (-0.0 → 0.0, canonical NaN) —
+    * re-exposes the `private[sql]` NormalizeFloatingNumbers.normalize.
+    */
+  def normalizeFloats(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.optimizer.NormalizeFloatingNumbers.normalize(e)
+
   /** DataFrame from a (possibly custom) logical plan — re-exposes the
     * `private[sql]` Dataset.ofRows for graft's custom operators.
     */

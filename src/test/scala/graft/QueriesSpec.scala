@@ -17,6 +17,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("every query has an oracle (except the declared HLL exemption)") {
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == Set("agg_approx_distinct"),
+      s"queries silently missing a DuckDB oracle: ${unoracled - "agg_approx_distinct"}")
+  }
+
   test("category maps have no colliding query names (++ would drop them)") {
     import graft.operators._
     import graft.functions.{FnQueries, UdfQueries}

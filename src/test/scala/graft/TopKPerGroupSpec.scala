@@ -45,6 +45,21 @@ class TopKPerGroupSpec extends AnyFunSuite {
     assert(top5 == expected)
   }
 
+  test("float group keys: -0.0 groups with 0.0 (SQL semantics)") {
+    import spark.implicits._
+    val df = Seq((0.0, 1), (-0.0, 2), (1.0, 3)).toDF("g", "id")
+    val got = GraftOps.topKPerGroup(df, Seq("g"), Seq("id" -> true), 1)
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    // one group for {0.0, -0.0} -> keeps id=1 only; plus id=3's group
+    assert(got == Seq(1, 3))
+  }
+
+  test("group columns resolve case-insensitively") {
+    val df = GraftOps.topKPerGroup(orders, Seq("O_CUSTKEY"),
+      Seq("O_TOTALPRICE" -> false, "o_orderkey" -> true), 1)
+    assert(df.count() > 0)
+  }
+
   test("duplicate order values are tiebroken deterministically") {
     import spark.implicits._
     val df = Seq((1, 10, 5.0), (1, 11, 5.0), (1, 12, 5.0), (2, 20, 1.0))
