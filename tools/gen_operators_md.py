@@ -1,0 +1,53 @@
+#!/usr/bin/env python3
+"""Regenerate OPERATORS.md from a Verify output dir and a Bench JSON line.
+
+Usage: python3 tools/gen_operators_md.py <verifyOutDir> <benchJsonFile>
+
+<benchJsonFile> holds the single JSON line Bench prints (optionally with
+log prefixes; the line containing "metric" is used).
+"""
+import json
+import sys
+from pathlib import Path
+
+CATS = {
+    'scan': 'A. Scans', 'filter': 'B. Filters/projection', 'project': 'B. Filters/projection',
+    'sort': 'F. Sorts/limits', 'limit': 'F. Sorts/limits', 'topk': 'F. Sorts/limits',
+    'join': 'C. Joins', 'agg': 'D. Aggregations', 'win': 'E. Windows', 'set': 'G. Set ops',
+    'fn': 'H. Scalar functions', 'gen': 'I. Generators', 'stream': 'J. Streaming (batch-checked)',
+    'llm': 'K/M. LLM & scale-path ops', 'udf': 'L. UDF/UDAF', 'udaf': 'L. UDF/UDAF'}
+ORDER = ['A. Scans', 'B. Filters/projection', 'C. Joins', 'D. Aggregations', 'E. Windows',
+         'F. Sorts/limits', 'G. Set ops', 'H. Scalar functions', 'I. Generators',
+         'J. Streaming (batch-checked)', 'K/M. LLM & scale-path ops', 'L. UDF/UDAF', 'other']
+
+
+def main():
+    out_dir, bench_file = sys.argv[1], sys.argv[2]
+    oracle = json.loads((Path(out_dir) / 'oracle_sql.json').read_text())
+    bench_line = next(l for l in Path(bench_file).read_text().splitlines() if '"metric"' in l)
+    bench = json.loads(bench_line[bench_line.index('{'):])['queries']
+    rows = {}
+    for n in sorted(set(oracle) | set(bench)):
+        rows.setdefault(CATS.get(n.split('_')[0], 'other'), []).append(n)
+    names = sorted(set(oracle) | set(bench))
+    out = ["# OPERATORS — declared query inventory (generated)", "",
+           f"{len(names)} declared queries; {len(oracle)} with a DuckDB oracle",
+           "(`agg_approx_distinct` is rows-only by design: HLL estimates are",
+           "engine-specific). Timings: `Bench` at sf0.1, local[32], steady state;",
+           "-1.00 marks a failed query.",
+           "",
+           "Regenerate: `python3 tools/gen_operators_md.py <verifyOut> <benchJson>`", ""]
+    for cat in ORDER:
+        if cat not in rows:
+            continue
+        out += [f"## {cat}", "", "| query | oracle | sf0.1 sec |", "| --- | --- | --- |"]
+        for n in rows[cat]:
+            o = "DuckDB" if n in oracle else "rows-only"
+            out.append(f"| `{n}` | {o} | {bench.get(n, float('nan')):.2f} |")
+        out.append("")
+    Path('OPERATORS.md').write_text("\n".join(out))
+    print(f"wrote OPERATORS.md: {len(names)} queries")
+
+
+if __name__ == "__main__":
+    main()
