@@ -12,6 +12,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JIT/codegen warm-up at the smallest SF, so the timed loop
     // measures steady-state query cost rather than first-query JIT tax.
+    // (Warming at the measured SF was tried and is WORSE: 97 heavy
+    // queries thrash the ~100-entry codegen cache and leave a fragmented
+    // heap, slowing the timed loop by ~60%.)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>

@@ -17,4 +17,18 @@ class DeterminismSpec extends AnyFunSuite {
       assert(snapshot() == snapshot())
     }
   }
+
+  // the float-risky shapes (order-dependent partial aggregation, window
+  // sums, cosine folds, collects) also double-run at the graded SF
+  for (name <- Seq(
+      "agg_stats", "agg_percentiles", "agg_collect_sorted", "win_frame_rows",
+      "win_frame_range", "llm_simsearch_topk", "llm_knn_join", "llm_multimodal_join",
+      "llm_tfidf_topterms", "udaf_weighted_avg", "llm_dedup_near")) {
+    test(s"$name is run-to-run deterministic at sf0.01") {
+      val fn = SparkEntry.queries(name)
+      def snapshot(): Seq[String] =
+        fn(spark, sf001).collect().toSeq.map(_.toString)
+      assert(snapshot() == snapshot())
+    }
+  }
 }
