@@ -53,6 +53,30 @@ object ExtraQueries {
         .orderBy("vec_id")
     }),
 
+    // column-name-based union: branches project in different orders and
+    // unionByName aligns them (positional union would silently mix types)
+    "set_union_byname" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val a = o.where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val b = o.where(col("o_orderstatus") === "O")
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      a.unionByName(b).orderBy("o_orderkey")
+    }),
+
+    "fn_bitwise" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          shiftleft(col("user_id"), 3).as("shl3"),
+          shiftright(col("user_id"), 2).as("shr2"),
+          col("user_id").bitwiseAND(lit(255L)).as("band"),
+          col("user_id").bitwiseOR(lit(16L)).as("bor"),
+          col("user_id").bitwiseXOR(lit(85L)).as("bxor"),
+          bitwise_not(col("user_id")).as("bnot"),
+          bit_count(col("user_id")).as("popcnt"))
+        .orderBy("event_id")
+    }),
+
     "fn_levenshtein" -> ((s, dir) => {
       Tables.part(s, dir)
         .select(col("p_partkey"),
@@ -131,6 +155,23 @@ object ExtraQueries {
         |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> NOT (x < 10.0))) = 0 AS all_small,
         |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0.0)) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "set_union_byname" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "fn_bitwise" ->
+      """SELECT event_id,
+        |  user_id << 3 AS shl3,
+        |  user_id >> 2 AS shr2,
+        |  user_id & 255 AS band,
+        |  user_id | 16 AS bor,
+        |  xor(user_id, 85) AS bxor,
+        |  ~user_id AS bnot,
+        |  CAST(bit_count(user_id) AS INT) AS popcnt
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "fn_levenshtein" ->
       """SELECT p_partkey,
