@@ -34,6 +34,19 @@ object ScaleQueries {
 
   import graft.functions.TextShingles.{duckShingleCte, mkShingles, verifyJaccard06}
 
+  /** 8 × 64 deterministic pseudo-random hyperplanes: component (i, j) =
+    * (md5int("hp-i-j") % 2001 − 1000) / 1000.0 — the oracle rebuilds the
+    * identical values from DuckDB's md5, so sign bits agree bit-exactly.
+    */
+  private lazy val hyperplanes: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (i, j) =>
+      val hex = md.digest(s"hp-$i-${j + 1}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
+    }
+  }
+
   // synthetic-vocabulary language profiles (the test corpus shares one
   // vocabulary across langs, so these are demonstration profiles — the
   // operator shape is the real thing: per-profile hit counts + argmax)
@@ -223,6 +236,40 @@ object ScaleQueries {
         .limit(10)
     }),
 
+    // ---- LSH-bucketed ANN: 8 random-hyperplane sign bits ---------------
+    // hyperplanes are md5-derived (identical integer arithmetic in the
+    // oracle), signature = sign pattern of the 8 dots, probe = the
+    // query's bucket only. At 100 TB the bucket id becomes a storage
+    // partition key; multi-probe = flip low-margin bits.
+    "llm_ann_lsh" -> ((s, dir) => {
+      val sig = udf { emb: Seq[Float] =>
+        var bucket = 0
+        var i = 0
+        while (i < 8) {
+          var dot = 0.0
+          var j = 0
+          while (j < emb.length) {
+            dot += emb(j).toDouble * hyperplanes(i)(j)
+            j += 1
+          }
+          if (dot > 0) bucket |= (1 << i)
+          i += 1
+        }
+        bucket
+      }
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("bucket"))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      e.where(col("vec_id") =!= 0)
+        .join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          (vecDot(col("embedding"), col("qv"))
+            / (vecNorm(col("embedding")) * vecNorm(col("qv")))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- opaque-bytes column plumbing (text → utf8 bytes) --------------
     "llm_multimodal_bytes" -> ((s, dir) => {
       Tables.documents(s, dir)
@@ -367,6 +414,29 @@ object ScaleQueries {
         |ORDER BY a_id, b_id""".stripMargin,
 
     "llm_ann_ivf" -> annIvfOracle,
+
+    "llm_ann_lsh" ->
+      """WITH hp AS (
+        |  SELECT i, list_transform(generate_series(1, 64),
+        |    j -> ((('0x' || substr(md5('hp-' || i || '-' || j), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS v
+        |  FROM (SELECT unnest(generate_series(0, 7)) i)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ev FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, hp.i,
+        |    list_aggregate(list_transform(list_zip(e.ev, hp.v), p -> p[1] * p[2]), 'sum') AS dot
+        |  FROM e CROSS JOIN hp),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT ev AS qv, bucket AS qbucket FROM e JOIN sig USING (vec_id) WHERE vec_id = 0)
+        |SELECT e.vec_id, sig.bucket,
+        |  list_aggregate(list_transform(list_zip(e.ev, q.qv), p -> p[1] * p[2]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(e.ev, x -> x * x), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos_sim
+        |FROM e JOIN sig USING (vec_id), q
+        |WHERE e.vec_id <> 0 AND sig.bucket = q.qbucket
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "llm_multimodal_bytes" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5
