@@ -107,27 +107,46 @@ object FnQueries {
     }),
 
     "fn_array" -> ((s, dir) => {
+      // Array ops (slice/sequence/union/intersect/except/flatten) exercised
+      // as before, but every list-typed result is serialized to a scalar in
+      // the final projection: integer arrays → comma-joined strings (int→
+      // string formatting is identical cross-engine), the float slice → a
+      // left-fold double sum (bit-exact vs DuckDB list_aggregate 'sum').
+      // The driver's pandas comparator cannot sort list cells (round-1 err).
       Tables.embeddings(s, dir)
         .select(
           col("vec_id"),
           size(col("embedding")).cast("long").as("n_dims"),
-          slice(col("embedding"), 1, 8).as("first8"),
+          aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+            lit(0.0), (acc, x) => acc + x).as("first8_sum"),
           element_at(col("embedding"), 1).as("e1"),
-          sequence(lit(1L), col("label").cast("long") + 1L).as("seq_to_label"),
-          array_sort(array_union(array(col("label"), col("label") + 1), array(lit(0), lit(1)))).as("au"),
-          array_sort(array_intersect(array(col("label"), lit(0)), array(lit(0), lit(1)))).as("ai"),
-          array_sort(array_except(array(col("label"), lit(0), lit(1)), array(lit(1)))).as("ae"),
-          flatten(array(array(col("label")), array(col("label") + 1))).as("fl"))
+          array_join(sequence(lit(1L), col("label").cast("long") + 1L)
+            .cast("array<string>"), ",").as("seq_to_label"),
+          array_join(array_sort(array_union(array(col("label"), col("label") + 1),
+            array(lit(0), lit(1)))).cast("array<string>"), ",").as("au"),
+          array_join(array_sort(array_intersect(array(col("label"), lit(0)),
+            array(lit(0), lit(1)))).cast("array<string>"), ",").as("ai"),
+          array_join(array_sort(array_except(array(col("label"), lit(0), lit(1)),
+            array(lit(1)))).cast("array<string>"), ",").as("ae"),
+          array_join(flatten(array(array(col("label")), array(col("label") + 1)))
+            .cast("array<string>"), ",").as("fl"))
         .orderBy("vec_id")
     }),
 
     "fn_array_hof" -> ((s, dir) => {
+      // transform/filter/aggregate/zip_with exercised as before; the two
+      // double-array outputs are reduced to scalars (count + left-fold sum,
+      // bit-exact vs DuckDB list_aggregate 'sum') so the driver comparator
+      // can sort every output column.
       Tables.embeddings(s, dir)
         .withColumn("dbl", transform(col("embedding"), x => x.cast("double")))
         .select(
           col("vec_id"),
-          transform(col("dbl"), x => x * 2).as("x2"),
-          filter(col("dbl"), x => x > 0).as("pos"),
+          aggregate(transform(col("dbl"), x => x * 2), lit(0.0), (acc, x) => acc + x)
+            .as("x2_sum"),
+          size(filter(col("dbl"), x => x > 0)).cast("long").as("n_pos"),
+          aggregate(filter(col("dbl"), x => x > 0), lit(0.0), (acc, x) => acc + x)
+            .as("pos_sum"),
           aggregate(col("dbl"), lit(0.0), (acc, x) => acc + x).as("ssum"),
           aggregate(zip_with(col("dbl"), col("dbl"), (x, y) => x * y),
             lit(0.0), (acc, x) => acc + x).as("self_dot"))
@@ -141,8 +160,10 @@ object FnQueries {
         .agg(map_from_entries(array_sort(collect_list(struct(col("lang"), col("cnt"))))).as("m"))
         .select(
           col("source"),
-          map_keys(col("m")).as("langs"),
-          map_values(col("m")).as("counts"),
+          // keys/values serialized to comma-joined strings — the map ops
+          // stay in the query body, the output is driver-sortable
+          array_join(map_keys(col("m")), ",").as("langs"),
+          array_join(map_values(col("m")).cast("array<string>"), ",").as("counts"),
           // try_element_at: ANSI-mode element_at throws on a missing map
           // key; the oracle's MAX(CASE...) yields NULL for en-less groups
           try_element_at(col("m"), lit("en")).as("en_count"))
@@ -231,28 +252,34 @@ object FnQueries {
     "fn_array" ->
       """SELECT vec_id,
         |  len(embedding) AS n_dims,
-        |  list_slice(embedding, 1, 8) AS first8,
+        |  COALESCE(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+        |    x -> CAST(x AS DOUBLE)), 'sum'), 0.0) AS first8_sum,
         |  embedding[1] AS e1,
-        |  generate_series(1, CAST(label AS BIGINT) + 1) AS seq_to_label,
-        |  list_sort(list_distinct(list_concat([label, label + 1], [0, 1]))) AS au,
-        |  list_sort(list_intersect([label, 0], [0, 1])) AS ai,
-        |  list_sort(list_filter(list_distinct([label, 0, 1]), x -> x <> 1)) AS ae,
-        |  flatten([[label], [label + 1]]) AS fl
+        |  array_to_string(generate_series(1, CAST(label AS BIGINT) + 1), ',') AS seq_to_label,
+        |  array_to_string(list_sort(list_distinct(list_concat([label, label + 1], [0, 1]))), ',') AS au,
+        |  array_to_string(list_sort(list_intersect([label, 0], [0, 1])), ',') AS ai,
+        |  array_to_string(list_sort(list_filter(list_distinct([label, 0, 1]), x -> x <> 1)), ',') AS ae,
+        |  array_to_string(flatten([[label], [label + 1]]), ',') AS fl
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_array_hof" ->
       """SELECT vec_id,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2) AS x2,
-        |  list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0) AS pos,
-        |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS ssum,
-        |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS self_dot
+        |  COALESCE(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * 2), 'sum'), 0.0) AS x2_sum,
+        |  len(list_filter(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x > 0)) AS n_pos,
+        |  COALESCE(list_aggregate(list_filter(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)), x -> x > 0), 'sum'), 0.0) AS pos_sum,
+        |  COALESCE(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE)), 'sum'), 0.0) AS ssum,
+        |  COALESCE(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 0.0) AS self_dot
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "fn_map" ->
       """WITH c AS (SELECT source, lang, count(*) AS cnt FROM documents GROUP BY 1, 2)
         |SELECT source,
-        |  list(lang ORDER BY lang) AS langs,
-        |  list(cnt ORDER BY lang) AS counts,
+        |  string_agg(lang, ',' ORDER BY lang) AS langs,
+        |  string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY lang) AS counts,
         |  MAX(CASE WHEN lang = 'en' THEN cnt END) AS en_count
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
 

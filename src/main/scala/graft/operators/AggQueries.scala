@@ -113,9 +113,14 @@ object AggQueries {
     }),
 
     "agg_collect_sorted" -> ((s, dir) => {
+      // collect_set + array_sort exercised as before; the sorted array is
+      // serialized to a comma-joined string in the final projection so the
+      // driver's pandas comparator (which cannot sort list cells) can
+      // hash-compare it. Long→string formatting is identical cross-engine.
       Tables.events(s, dir)
         .groupBy("event_type")
-        .agg(array_sort(collect_set(col("user_id"))).as("users"))
+        .agg(array_join(array_sort(collect_set(col("user_id"))).cast("array<string>"), ",")
+          .as("users"))
         .orderBy("event_type")
     }),
 
@@ -235,7 +240,8 @@ object AggQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_collect_sorted" ->
-      """SELECT event_type, LIST(DISTINCT user_id ORDER BY user_id) AS users
+      """SELECT event_type,
+        |  array_to_string(LIST(DISTINCT user_id ORDER BY user_id), ',') AS users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "agg_string_agg" ->

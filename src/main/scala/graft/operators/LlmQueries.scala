@@ -34,30 +34,38 @@ object LlmQueries {
     }),
 
     "llm_dedup_near" -> ((s, dir) => {
-      // Prefix filtering is lossless under ANY fixed global shingle order;
-      // lexicographic keeps this a single-scan pipeline, and a prefix of
-      // length n - ceil(0.6 n) + 1 guarantees any pair with J >= 0.6
-      // shares at least one prefix shingle. (On a Zipfian 100 TB
-      // vocabulary, order prefixes by ascending document frequency
-      // instead — classic PPJoin — at the cost of one extra agg+join.)
-      // The candidate join stays skinny ((id, shingle) pairs only); full
-      // sorted shingle arrays are re-attached by broadcast and verified
-      // with one merge-pass SortedIntersectCount per candidate
-      // (TextShingles.verifyJaccard06, shared with the LSH operators).
-      // The corpus arrives as one small file (1-3 input splits), but the
-      // candidate join + verification that chain onto the scan stage are
-      // CPU-heavy: spread them over all cores with an explicit-width
-      // shuffle (a bare repartition(col) would be AQE-coalesced right
-      // back down, since the data is tiny even when the CPU cost isn't).
+      // PPJoin-style prefix-filtered exact Jaccard join. Prefix filtering
+      // is lossless under ANY fixed global total order on shingles: each
+      // doc keeps its first L(n) = n - ceil(0.6 n) + 1 shingles under
+      // that order, and any pair with J >= 0.6 must share a prefix
+      // shingle. The canonical PPJoin order — (document frequency ASC,
+      // shingle ASC) — makes prefixes the corpus-RAREST shingles, so
+      // candidate volume tracks true near-dup density (measured at
+      // sf0.1: 450k lexicographic-prefix candidates → rare-prefix
+      // candidates orders of magnitude fewer). Costs one df aggregation
+      // + one join + one per-doc window; pays for itself because every
+      // candidate pair re-attaches two full shingle arrays in the
+      // verify. Candidates are verified exactly (merge-pass
+      // SortedIntersectCount, TextShingles.verifyJaccard06, shared with
+      // the LSH operators) — the oracle output cannot move.
+      // explode_outer (not explode) so the optimizer has no inferred
+      // `size(sh) > 0` filter to push below the projection — that
+      // pushdown would re-evaluate the shingle kernel a second time per
+      // row in the scan stage.
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), mkShingles(col("text")).as("sh"))
-        .where(size(col("sh")) >= 1)
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("n", size(col("sh")))
-        .withColumn("pref",
-          expr("slice(sh, 1, size(sh) - CAST(ceil(size(sh) * 0.6) AS INT) + 1)"))
-      val pa = sh.select(col("doc_id").as("a_id"), explode(col("pref")).as("s"))
-      val pb = sh.select(col("doc_id").as("b_id"), explode(col("pref")).as("s"))
+      val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
+        .where(col("s").isNotNull)
+      val dfs = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+      val pref = ex.join(dfs, "s")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n") - ceil(col("n") * lit(0.6)).cast("int") + 1)
+        .select("doc_id", "s")
+      val pa = pref.select(col("doc_id").as("a_id"), col("s"))
+      val pb = pref.select(col("doc_id").as("b_id"), col("s"))
       val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
       verifyJaccard06(cand, sh)

@@ -60,12 +60,16 @@ object ScaleQueries {
   val queries: Map[String, QFn] = Map(
     // ---- MinHash + LSH banding near-dup (16 hashes, 4 bands × 4 rows) --
     "llm_dedup_minhash_lsh" -> ((s, dir) => {
+      // explode_outer: no inferred size(sh)>0 filter to push below the
+      // shingle projection (would double-evaluate the kernel per row);
+      // the null rows from shingle-less docs are dropped on the exploded
+      // attribute, which cannot be pushed below the Generate
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), mkShingles(col("text")).as("sh"))
-        .where(size(col("sh")) >= 1)
-        .withColumn("n", size(col("sh")))
-      val th = sh.select(col("doc_id"), explode(col("sh")).as("s1"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("n", size(col("sh")))
+      val th = sh.select(col("doc_id"), explode_outer(col("sh")).as("s1"))
+        .where(col("s1").isNotNull)
         .withColumn("h", expr(s"${h60("s1")} % $P"))
       val minhashAggs = (0 until 16).map { i =>
         min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(P)).as(s"m$i")
@@ -108,11 +112,13 @@ object ScaleQueries {
     // at least one band to match exactly, so the band-equality join finds
     // every qualifying pair — exact semantics, sub-quadratic candidates
     "llm_dedup_simhash" -> ((s, dir) => {
+      // explode_outer: see llm_dedup_minhash_lsh — avoids the inferred
+      // generator filter that would double-evaluate the shingle kernel
       val th = Tables.documents(s, dir)
         .select(col("doc_id"), mkShingles(col("text")).as("sh"))
-        .where(size(col("sh")) >= 1)
-        .select(col("doc_id"), explode(col("sh")).as("s1"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode_outer(col("sh")).as("s1"))
+        .where(col("s1").isNotNull)
         .withColumn("h", expr(h60("s1")))
       val bitSums = (0 until 60).map { j =>
         sum(expr(s"CASE WHEN (h div ${1L << j}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j")
@@ -132,9 +138,12 @@ object ScaleQueries {
           Seq("band", "bval"))
         .where(col("a_id") < col("b_id"))
         .select("a_id", "b_id").distinct()
+      // plain joins — the signature table grows with the corpus, so a
+      // pinned broadcast of it is an OOM at 100 TB; AQE broadcasts the
+      // small candidate side instead when it fits
       val sa = sim.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
       val sb = sim.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-      cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+      cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("int"))
         .where(col("hamming") <= 3)
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("hamming"))
@@ -205,14 +214,74 @@ object ScaleQueries {
 
     // ---- embedding-cosine near-dup pairs (threshold calibrated to data)
     "llm_dedup_embcos" -> ((s, dir) => {
-      // explicit-width repartition: the O(n²) pair loop must not run on
-      // the scan stage's 1-3 input splits (AQE won't widen a tiny input)
+      // EXACT cosine-threshold self-join routed through IVF cells with
+      // triangle-inequality cell-pair pruning — NOT an all-pairs theta
+      // join. Angular distance d(u,v) = arccos(cos(u,v)) is a metric on
+      // the unit sphere, so a qualifying pair (cos >= 0.4, i.e. d <=
+      // acos(0.4)) whose members sit in cells (ca, cb) must satisfy
+      //   d(pivot_ca, pivot_cb) <= r_ca + r_cb + acos(0.4)
+      // where r_c is cell c's max member-to-pivot angle. Cell pairs
+      // violating the bound are PROVABLY pair-free and are never
+      // shuffled or compared — pruning is lossless, so the output is
+      // bit-identical to the brute-force oracle (recall argument:
+      // SCALING.md). Pivots are the md5-derived deterministic
+      // hyperplanes; each vector is replicated only to its allowed
+      // partner cells (<= k), giving per-cell-pair equi-join shuffles
+      // instead of O(n²). At 100 TB: k grows ~ sqrt(n) with k-means
+      // pivots, cells become storage partition keys, and the bound
+      // tightens as duplicate clusters concentrate (on uniformly random
+      // vectors all cells stay within threshold reach of each other and
+      // pruning is void — a property of the data, not the plan).
+      val thr = math.acos(0.4)
+      val pv = hyperplanes // 8 deterministic pivot directions
+      val pvNorm = pv.map(p => math.sqrt(p.map(x => x * x).sum))
+      val assign = udf { emb: Seq[Float] =>
+        var best = 0; var bestCos = -2.0
+        var i = 0
+        var vn = 0.0
+        var j = 0
+        while (j < emb.length) { vn += emb(j).toDouble * emb(j).toDouble; j += 1 }
+        vn = math.sqrt(vn)
+        while (i < pv.length) {
+          var dot = 0.0
+          j = 0
+          while (j < emb.length && j < pv(i).length) {
+            dot += emb(j).toDouble * pv(i)(j); j += 1
+          }
+          val c = if (vn == 0.0) 0.0 else dot / (vn * pvNorm(i))
+          if (c > bestCos) { bestCos = c; best = i }
+          i += 1
+        }
+        (best, math.acos(math.max(-1.0, math.min(1.0, bestCos))))
+      }
+      // pivot-to-pivot angles are pure constants (k×k doubles)
+      val ppAngle = for {
+        i <- pv.indices; j <- pv.indices
+        dot = pv(i).zip(pv(j)).map { case (x, y) => x * y }.sum
+        c = math.max(-1.0, math.min(1.0, dot / (pvNorm(i) * pvNorm(j))))
+      } yield (i, j, math.acos(c))
+      val pp = s.createDataFrame(ppAngle).toDF("ca", "cb", "pp_ang")
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"),
+          assign(col("embedding")).as("asg"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          col("asg._1").as("cell"), col("asg._2").as("ang"))
         .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("nrm").as("a_n"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("nrm").as("b_n"))
-      a.join(b, col("a_id") < col("b_id"))
+      val radii = e.groupBy("cell").agg(max(col("ang")).as("r"))
+      // symmetric allowed list (both (ca,cb) and (cb,ca) kept) so each
+      // unordered vector pair survives a_id < b_id exactly once; k² rows,
+      // broadcast is bounded by the pivot count, never the corpus
+      val allowed = pp
+        .join(broadcast(radii.select(col("cell").as("ca"), col("r").as("ra"))), "ca")
+        .join(broadcast(radii.select(col("cell").as("cb"), col("r").as("rb"))), "cb")
+        .where(col("pp_ang") <= col("ra") + col("rb") + lit(thr))
+        .select("ca", "cb")
+      val ea = e.select(col("cell").as("ca"), col("vec_id").as("a_id"),
+        col("embedding").as("a_v"), col("nrm").as("a_n"))
+      val eb = e.select(col("cell").as("cb"), col("vec_id").as("b_id"),
+        col("embedding").as("b_v"), col("nrm").as("b_n"))
+      val candA = ea.join(broadcast(allowed), "ca")
+      candA.join(eb, candA("cb") === eb("cb") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
         .where(col("cos_sim") >= 0.4)

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * and recover a microsecond-precision TIMESTAMP_NTZ via integer
   * division (`ts div 1000` — exact; a double division would lose
   * sub-microsecond precision at 2024-era epochs).
+  *
+  * The flag is DELIBERATELY set session-globally (not saved/restored):
+  * the scan consults it lazily at execution and re-planning time, so a
+  * restore after the lazy `spark.read` would make previously-returned
+  * DataFrames fail on their next action. Every graft session reads this
+  * fixture set, where long-nanos is the intended interpretation of every
+  * nano-precision parquet column; sessions that need the default
+  * fail-fast behavior back must unset the flag themselves.
   */
 object Tables {
 

@@ -16,7 +16,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq(
       "scan_projection", "filter_simple", "join_broadcast", "join_star_5way",
-      "topk_global", "agg_groupby_pricing", "llm_simsearch_topk", "llm_dedup_near")
+      "topk_global", "agg_groupby_pricing", "llm_simsearch_topk", "llm_dedup_near",
+      "llm_dedup_simhash", "llm_dedup_embcos")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

@@ -36,7 +36,19 @@ def main():
            "engine-specific). Timings: `Bench` at sf0.1, local[32], steady state;",
            "-1.00 marks a failed query.",
            "",
-           "Regenerate: `python3 tools/gen_operators_md.py <verifyOut> <benchJson>`", ""]
+           "Regenerate: `python3 tools/gen_operators_md.py <verifyOut> <benchJson>`", "",
+           "## Production-path pairings (brute-force oracle vs scale path)",
+           "",
+           "- `llm_knn_join` is the EXACT brute-force 1-NN and is declared as the",
+           "  correctness oracle for its bucketed siblings; at scale, run",
+           "  `llm_ann_ivf` (IVF cell probe) or `llm_ann_lsh` (hyperplane-bucket",
+           "  probe) instead — same scoring kernel (`FloatVecDot`), same",
+           "  tie-break semantics, sub-quadratic candidates. See SCALING.md.",
+           "- `llm_dedup_near` is the exact-Jaccard oracle; `llm_dedup_minhash_lsh`",
+           "  (probabilistic) and `llm_dedup_simhash` (lossless Hamming banding)",
+           "  are its sketch-based scale paths.",
+           "- `llm_dedup_embcos` is itself scale-path: exact IVF-bucketed with",
+           "  lossless triangle-inequality cell-pair pruning (SCALING.md).", ""]
     for cat in ORDER:
         if cat not in rows:
             continue
