@@ -22,7 +22,8 @@ object SparkEntry {
     ScanFilterQueries.queries ++ JoinQueries.queries ++ AggQueries.queries ++
       WindowQueries.queries ++ SetQueries.queries ++ FnQueries.queries ++
       GenQueries.queries ++ StreamQueries.queries ++ LlmQueries.queries ++
-      UdfQueries.queries ++ ScaleQueries.queries ++ ExtraQueries.queries
+      UdfQueries.queries ++ ScaleQueries.queries ++ ExtraQueries.queries ++
+      Round2Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     ScanFilterQueries.oracles ++ JoinQueries.oracles ++ AggQueries.oracles ++
       WindowQueries.oracles ++ SetQueries.oracles ++ FnQueries.oracles ++
       GenQueries.oracles ++ StreamQueries.oracles ++ LlmQueries.oracles ++
-      UdfQueries.oracles ++ ScaleQueries.oracles ++ ExtraQueries.oracles
+      UdfQueries.oracles ++ ScaleQueries.oracles ++ ExtraQueries.oracles ++
+      Round2Queries.oracles
 }

@@ -1,0 +1,291 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryUtils._
+import graft.functions.VectorFunctions.vecDot
+import graft.sources.Tables
+
+/** §2.N — round-2 surface additions: SQL subqueries (scalar / IN /
+  * EXISTS / LATERAL, planned through Spark's real subquery machinery via
+  * `spark.sql`), cumulative window stats, interval arithmetic, an
+  * explicitly salted skew-safe aggregation, multi-probe LSH ANN, and
+  * connected-component dedup clustering (the step after pair
+  * generation in a production dedup pipeline).
+  *
+  * Determinism notes follow SURVEY.md §7.2: scalar-subquery thresholds
+  * compare against exact decimal sums (never a raw double avg), ratio
+  * window functions are exact integer divisions, and the clustering is
+  * min-label propagation whose fixpoint is order-independent.
+  */
+object Round2Queries {
+
+  val queries: Map[String, QFn] = Map(
+    // ---- scalar subquery: exact-decimal global threshold --------------
+    "sub_scalar" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      // o_totalprice * N > 1.5 * Σ(price): both sides are products of an
+      // exact decimal-sum-as-double and exact integers — bit-identical
+      // cross-engine, no half-ulp boundary from an averaged double
+      s.sql("""SELECT o_orderkey, o_totalprice
+              |FROM orders_v
+              |WHERE o_totalprice * (SELECT CAST(count(*) AS DOUBLE) FROM orders_v)
+              |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |               FROM orders_v)
+              |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // ---- IN subquery → left-semi plan ----------------------------------
+    "sub_in" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_custkey, c_name
+              |FROM customer_v
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders_v
+              |                    WHERE o_totalprice > 400000.0)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ---- correlated EXISTS / NOT EXISTS --------------------------------
+    "sub_exists" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c_custkey, c_acctbal
+              |FROM customer_v c
+              |WHERE EXISTS (SELECT 1 FROM orders_v o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+              |  AND NOT EXISTS (SELECT 1 FROM orders_v o2
+              |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 450000.0)
+              |ORDER BY c_custkey""".stripMargin)
+    }),
+
+    // ---- LATERAL correlated subquery (top-2 orders per customer) ------
+    "sub_lateral" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+              |FROM customer_v c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v o
+              |         WHERE o.o_custkey = c.c_custkey
+              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+              |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+    }),
+
+    // ---- cumulative window ratios (exact integer divisions) ------------
+    "win_cume_dist" -> ((s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value")
+      Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("event_id")
+    }),
+
+    // ---- interval / calendar arithmetic --------------------------------
+    "fn_interval" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(
+          col("event_id"),
+          (col("ts") + expr("INTERVAL 3 DAY")).as("plus3d"),
+          (col("ts") - expr("INTERVAL 90 MINUTE")).as("minus90m"),
+          add_months(to_date(col("ts")), 2).as("plus2mo"),
+          last_day(to_date(col("ts"))).as("month_end"),
+          unix_timestamp(col("ts").cast("timestamp")).as("epoch_s"))
+        .orderBy("event_id")
+    }),
+
+    // ---- explicitly salted two-stage aggregation ------------------------
+    // the skew-mitigation pattern for hot grouping keys (3 return flags
+    // over the whole fact table): a salted partial aggregation fans the
+    // hot key over 16 reducers, the final stage combines 16 partials per
+    // key. Decimal partials are exact, so the result is provably equal
+    // to the direct group-by (which IS the oracle).
+    "agg_skew_salted" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("psum"),
+          count(lit(1)).as("pcnt"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(col("psum")).cast("double").as("total_price"),
+          sum(col("pcnt")).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- multi-probe hyperplane-LSH ANN ---------------------------------
+    // probes the query's bucket PLUS the 8 Hamming-1 neighbor buckets —
+    // the standard recall lever that avoids building more tables; at
+    // 100 TB the probe set is still a constant fan-out of partition-key
+    // lookups, not a scan.
+    "llm_ann_multiprobe" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          ScaleQueries.lshBucket(col("embedding")).as("bucket"))
+      val probes = e.where(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        .select(col("qv"), explode(array(
+          (Seq(lit(0)) ++ (0 until 8).map(i => lit(1 << i))): _*)).as("flip"),
+          col("qbucket"))
+        .select(col("qv"), col("qbucket").bitwiseXOR(col("flip")).as("pbucket"))
+      e.where(col("vec_id") =!= 0)
+        .join(broadcast(probes), col("bucket") === col("pbucket"))
+        .select(col("vec_id"), col("bucket"),
+          (vecDot(col("embedding"), col("qv"))
+            / (sqrt(vecDot(col("embedding"), col("embedding")))
+              * sqrt(vecDot(col("qv"), col("qv"))))).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // ---- connected-component dedup clustering ---------------------------
+    // takes the lossless banded-SimHash near-dup PAIRS (Hamming <= 3) and
+    // resolves them into duplicate CLUSTERS with the component-minimum
+    // doc_id as the canonical id — the step a production dedup pipeline
+    // runs after pair generation. Min-label propagation: each iteration
+    // is one join + one min-aggregation (both shuffles keyed by node);
+    // converges in O(component diameter) rounds, each fully distributed
+    // (the driver only checks the converged? count). Deterministic: the
+    // fixpoint (min reachable id per node) is order-independent.
+    "llm_dedup_cluster" -> ((s, dir) => {
+      val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 25) {
+        val nbr = edges.join(labels.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("label"))
+        val next = labels.union(nbr)
+          .groupBy("node").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+          .where(col("label") < col("prev")).count()
+        labels = next
+        iter += 1
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .repartition(1).sortWithinPartitions("doc_id")
+    })
+  )
+
+  private val lateralOracle =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  private val clusterOracle = {
+    // the simhash-pair pipeline (same as llm_dedup_simhash's oracle, as a
+    // CTE) + recursive label walk: every node's cluster id is the minimum
+    // doc_id reachable in the undirected pair graph
+    val pairBody = graft.functions.TextShingles.duckShingleCte +
+      """,
+        |ex AS (SELECT doc_id, unnest(sh) s1 FROM s),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(s1), 1, 15))::BIGINT AS h FROM ex),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN (h // CAST(pow(2, j) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END sgn
+        |         FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) j)),
+        |sums AS (SELECT doc_id, j, CAST(SUM(sgn) AS BIGINT) sm FROM bits GROUP BY 1, 2),
+        |sim AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN sm > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM sums GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |          FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+        |edges AS (SELECT doc_a a, doc_b b FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |walk(node, label) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.a, w.label FROM walk w JOIN edges e ON w.node = e.b)
+        |SELECT node AS doc_id, min(label) AS cluster_id
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+    // splice RECURSIVE into the shared shingle CTE's WITH
+    "WITH RECURSIVE" + pairBody.stripPrefix("WITH")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "sub_scalar" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice * (SELECT CAST(count(*) AS DOUBLE) FROM orders)
+        |      > 1.5 * (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |               FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "sub_in" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sub_exists" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "sub_lateral" -> lateralOracle,
+
+    "win_cume_dist" ->
+      """SELECT event_id, event_type, value,
+        |  percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+        |  cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cd
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fn_interval" ->
+      """SELECT event_id,
+        |  ts + INTERVAL 3 DAY AS plus3d,
+        |  ts - INTERVAL 90 MINUTE AS minus90m,
+        |  CAST(CAST(ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+        |  last_day(CAST(ts AS DATE)) AS month_end,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "agg_skew_salted" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "llm_ann_multiprobe" ->
+      """WITH hp AS (
+        |  SELECT i, list_transform(generate_series(1, 64),
+        |    j -> ((('0x' || substr(md5('hp-' || i || '-' || j), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS v
+        |  FROM (SELECT unnest(generate_series(0, 7)) i)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ev FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, hp.i,
+        |    list_aggregate(list_transform(list_zip(e.ev, hp.v), p -> p[1] * p[2]), 'sum') AS dot
+        |  FROM e CROSS JOIN hp),
+        |sig AS (
+        |  SELECT vec_id,
+        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS INT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |q AS (SELECT ev AS qv, bucket AS qbucket FROM e JOIN sig USING (vec_id) WHERE vec_id = 0),
+        |probes AS (SELECT qv, xor(qbucket, f) AS pbucket
+        |           FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) f))
+        |SELECT e.vec_id, sig.bucket,
+        |  list_aggregate(list_transform(list_zip(e.ev, p.qv), z -> z[1] * z[2]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(e.ev, x -> x * x), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(p.qv, x -> x * x), 'sum'))) AS cos_sim
+        |FROM e JOIN sig USING (vec_id) JOIN probes p ON sig.bucket = p.pbucket
+        |WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "llm_dedup_cluster" -> clusterOracle
+  )
+}

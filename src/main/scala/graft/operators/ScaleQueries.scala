@@ -47,6 +47,27 @@ object ScaleQueries {
     }
   }
 
+  /** 8-bit random-hyperplane LSH bucket of an embedding (sign pattern of
+    * the 8 deterministic hyperplane dots) — shared by `llm_ann_lsh` and
+    * `llm_ann_multiprobe`.
+    */
+  val lshBucket: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { emb: Seq[Float] =>
+      var bucket = 0
+      var i = 0
+      while (i < 8) {
+        var dot = 0.0
+        var j = 0
+        while (j < emb.length) {
+          dot += emb(j).toDouble * hyperplanes(i)(j)
+          j += 1
+        }
+        if (dot > 0) bucket |= (1 << i)
+        i += 1
+      }
+      bucket
+    }
+
   // synthetic-vocabulary language profiles (the test corpus shares one
   // vocabulary across langs, so these are demonstration profiles — the
   // operator shape is the real thing: per-profile hit counts + argmax)
@@ -311,23 +332,8 @@ object ScaleQueries {
     // query's bucket only. At 100 TB the bucket id becomes a storage
     // partition key; multi-probe = flip low-margin bits.
     "llm_ann_lsh" -> ((s, dir) => {
-      val sig = udf { emb: Seq[Float] =>
-        var bucket = 0
-        var i = 0
-        while (i < 8) {
-          var dot = 0.0
-          var j = 0
-          while (j < emb.length) {
-            dot += emb(j).toDouble * hyperplanes(i)(j)
-            j += 1
-          }
-          if (dot > 0) bucket |= (1 << i)
-          i += 1
-        }
-        bucket
-      }
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), sig(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), lshBucket(col("embedding")).as("bucket"))
       val q = e.where(col("vec_id") === 0)
         .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
       e.where(col("vec_id") =!= 0)

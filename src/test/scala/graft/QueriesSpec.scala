@@ -31,7 +31,8 @@ class QueriesSpec extends AnyFunSuite {
       ScanFilterQueries.queries, JoinQueries.queries, AggQueries.queries,
       WindowQueries.queries, SetQueries.queries, FnQueries.queries,
       GenQueries.queries, StreamQueries.queries, LlmQueries.queries,
-      UdfQueries.queries, ScaleQueries.queries, ExtraQueries.queries)
+      UdfQueries.queries, ScaleQueries.queries, ExtraQueries.queries,
+      Round2Queries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }

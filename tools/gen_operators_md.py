@@ -15,10 +15,12 @@ CATS = {
     'sort': 'F. Sorts/limits', 'limit': 'F. Sorts/limits', 'topk': 'F. Sorts/limits',
     'join': 'C. Joins', 'agg': 'D. Aggregations', 'win': 'E. Windows', 'set': 'G. Set ops',
     'fn': 'H. Scalar functions', 'gen': 'I. Generators', 'stream': 'J. Streaming (batch-checked)',
-    'llm': 'K/M. LLM & scale-path ops', 'udf': 'L. UDF/UDAF', 'udaf': 'L. UDF/UDAF'}
+    'llm': 'K/M. LLM & scale-path ops', 'udf': 'L. UDF/UDAF', 'udaf': 'L. UDF/UDAF',
+    'sub': 'N. Subqueries'}
 ORDER = ['A. Scans', 'B. Filters/projection', 'C. Joins', 'D. Aggregations', 'E. Windows',
          'F. Sorts/limits', 'G. Set ops', 'H. Scalar functions', 'I. Generators',
-         'J. Streaming (batch-checked)', 'K/M. LLM & scale-path ops', 'L. UDF/UDAF', 'other']
+         'J. Streaming (batch-checked)', 'K/M. LLM & scale-path ops', 'L. UDF/UDAF',
+         'N. Subqueries', 'other']
 
 
 def main():
