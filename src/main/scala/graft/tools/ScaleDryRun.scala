@@ -41,11 +41,49 @@ object ScaleDryRun {
       .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment").agg(count(lit(1))).count()
 
-    q1(1); join3(1) // JIT warm-up
+    // near-dup (MinHash-LSH candidates + exact verify) at k× the corpus.
+    // Each replica's text gets a distinct suffix token so true-dup
+    // density stays constant — a plain self-union would make every doc a
+    // k-way exact duplicate and grow TRUE pairs quadratically, measuring
+    // the data rather than the plan.
+    val docs = graft.sources.Tables.documents(spark, dir)
+    def dedupShape(k: Int): Long = {
+      import graft.functions.TextShingles.{mkShingles, verifyJaccard06}
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i)
+        .withColumn("text", concat(col("text"), lit(s" replica$i marker$i pad$i"))))
+        .reduce(_ unionAll _)
+      val sh = d.select(col("doc_id"), mkShingles(col("text")).as("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("n", size(col("sh")))
+      val th = sh.select(col("doc_id"), explode_outer(col("sh")).as("s1"))
+        .where(col("s1").isNotNull)
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(s1), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
+      val minhashAggs = (0 until 16).map { i =>
+        min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(2147483647L)).as(s"m$i")
+      }
+      val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+      val bandStructs = (0 until 4).map { bd =>
+        struct(lit(bd).as("band"),
+          concat_ws(":", (0 until 4).map(r => col(s"m${bd * 4 + r}").cast("string")): _*).as("sig"))
+      }
+      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+          Seq("band", "sig"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      verifyJaccard06(cand, sh).count()
+    }
+
+    q1(1); join3(1); dedupShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s")
+      val t3 = time(dedupShape(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s")
     }
     spark.stop()
   }
