@@ -140,6 +140,65 @@ object Round2Queries {
         .limit(10)
     }),
 
+    // ---- URL parsing (host/path/query extraction) ----------------------
+    "fn_url" -> ((s, dir) => {
+      // URL synthesized from row data, then parsed back with Spark's
+      // parse_url; the oracle rebuilds the expected parts from the same
+      // columns, so any extraction defect diverges
+      Tables.documents(s, dir)
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/"), col("lang"),
+            lit("/doc?id="), col("doc_id"), lit("&lang="), col("lang")))
+        .select(
+          col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("id")).as("qid"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- count-min-sketch heavy hitters ---------------------------------
+    // bounded-memory frequency estimation: 4 md5-derived hash rows × 64
+    // buckets (256 counters regardless of vocabulary size), estimate =
+    // min over rows of the bucket total — always >= the true count. At
+    // 100 TB the bucket table is a 256-cell aggregate (one shuffle, tiny
+    // state) while the exact per-token count needs a full-vocabulary
+    // shuffle; the query returns both so the overestimate is visible.
+    "llm_heavy_hitters" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("t"))
+      val tf = tok.groupBy("t").agg(count(lit(1)).as("cnt"))
+      val rows = tf.select(col("t"), col("cnt"),
+          explode(array((0 until 4).map(lit): _*)).as("r"))
+        .withColumn("b", expr(
+          "CAST(conv(substring(md5(concat('cm', r, ':', t)), 1, 15), 16, 10) AS BIGINT) % 64"))
+      val bt = rows.groupBy("r", "b").agg(sum(col("cnt")).as("btot"))
+      rows.join(bt, Seq("r", "b"))
+        .groupBy("t", "cnt").agg(min("btot").as("cm_est"))
+        .orderBy(col("cm_est").desc, col("t").asc)
+        .limit(20)
+    }),
+
+    // ---- batch sessionization (gaps-and-islands) ------------------------
+    // the window-function twin of stream_session: a new session starts
+    // after a >30 min silence; session index = running sum of
+    // new-session flags per user. One shuffle (user_id), no state store.
+    "win_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || col("ts").cast("timestamp").cast("long")
+               - col("prev_ts").cast("timestamp").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .select(col("event_id"), col("user_id"),
+          sum("new_session").over(w).as("session_idx"))
+        .orderBy("event_id")
+    }),
+
     // ---- connected-component dedup clustering ---------------------------
     // takes the lossless banded-SimHash near-dup PAIRS (Hamming <= 3) and
     // resolves them into duplicate CLUSTERS with the component-minimum
@@ -286,6 +345,38 @@ object Round2Queries {
         |WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
-    "llm_dedup_cluster" -> clusterOracle
+    "llm_dedup_cluster" -> clusterOracle,
+
+    "fn_url" ->
+      """SELECT doc_id,
+        |  source || '.example.com' AS host,
+        |  '/' || lang || '/doc' AS path,
+        |  'id=' || doc_id || '&lang=' || lang AS query,
+        |  CAST(doc_id AS VARCHAR) AS qid,
+        |  'https' AS proto
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) t FROM documents),
+        |tf AS (SELECT t, count(*) cnt FROM tok GROUP BY t),
+        |rws AS (SELECT t, cnt, r,
+        |          ('0x' || substr(md5('cm' || r || ':' || t), 1, 15))::BIGINT % 64 AS b
+        |        FROM tf CROSS JOIN (SELECT unnest(generate_series(0, 3)) r)),
+        |bt AS (SELECT r, b, CAST(SUM(cnt) AS BIGINT) btot FROM rws GROUP BY r, b)
+        |SELECT t, cnt, CAST(MIN(btot) AS BIGINT) AS cm_est
+        |FROM rws JOIN bt USING (r, b)
+        |GROUP BY t, cnt ORDER BY cm_est DESC, t ASC LIMIT 20""".stripMargin,
+
+    "win_sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CASE WHEN prev_ts IS NULL
+        |                  OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                     - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |                THEN 1 ELSE 0 END)
+        |       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+        |FROM (SELECT event_id, user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin
   )
 }

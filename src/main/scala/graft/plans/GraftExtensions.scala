@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, SortedIntersectCount}
+import graft.functions.{FloatVecDot, ShingleArray, SortedIntersectCount}
 
 /** Registers graft's custom Catalyst expressions as SQL functions.
   *
@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.vecDotDescriptor)
     e.injectFunction(GraftFunctions.sortedIntersectDescriptor)
+    e.injectFunction(GraftFunctions.shinglesDescriptor)
   }
 }
 
@@ -39,11 +40,19 @@ object GraftFunctions {
         "sorted_intersect_count(a, b) - |a ∩ b| for sorted distinct array<string>"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1)))
 
+  val shinglesDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("shingles"),
+      info("shingles",
+        "shingles(text) - sorted distinct 3-token shingles (UTF-8 byte order) as array<string>"),
+      (exprs: Seq[Expression]) => ShingleArray(exprs(0)))
+
   /** Runtime registration on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles", exprs => ShingleArray(exprs(0)), "scala_udf")
   }
 }

@@ -24,6 +24,12 @@ class ExtensionsAndStreamOpsSpec extends AnyFunSuite {
     val ic = spark.sql(
       "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS n").head.getInt(0)
     assert(ic == 2)
+
+    val sh = spark.sql("SELECT shingles('d c b a d c b a') AS sh").head.getSeq[String](0)
+    // distinct, UTF-8 byte-order sorted 3-grams
+    assert(sh == Seq("a d c", "b a d", "c b a", "d c b"))
+    val shShort = spark.sql("SELECT shingles('one  two') AS sh").head.getSeq[String](0)
+    assert(shShort.isEmpty) // empty tokens dropped -> under 3 tokens
   }
 
   // the parquet file source streams a directory of log files; stage the

@@ -88,6 +88,35 @@ class Round2Spec extends AnyFunSuite {
     assert(multi.count() >= single.count())
   }
 
+  test("fn_url extraction matches the URL's construction parts") {
+    val got = Round2Queries.queries("fn_url")(spark, sf0001)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val bad = got.join(docs, "doc_id")
+      .where(col("host") =!= concat(col("source"), lit(".example.com"))
+        || col("proto") =!= "https"
+        || col("qid") =!= col("doc_id").cast("string")).count()
+    assert(bad == 0 && got.count() > 0)
+  }
+
+  test("llm_heavy_hitters count-min estimate never undercounts") {
+    val got = Round2Queries.queries("llm_heavy_hitters")(spark, sf0001)
+    assert(got.where(col("cm_est") < col("cnt")).count() == 0)
+    assert(got.count() == 20)
+  }
+
+  test("win_sessionize: session index is positive, non-decreasing per user") {
+    val got = Round2Queries.queries("win_sessionize")(spark, sf0001)
+    assert(got.where(col("session_idx") < 1).count() == 0)
+    val ev = graft.sources.Tables.events(spark, sf0001).select("event_id", "ts")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val dec = got.join(ev, "event_id")
+      .withColumn("prev", lag("session_idx", 1).over(w))
+      .where(col("prev").isNotNull && col("session_idx") < col("prev")).count()
+    assert(dec == 0)
+  }
+
   test("llm_dedup_cluster endpoints of every pair share a cluster id") {
     val labels = Round2Queries.queries("llm_dedup_cluster")(spark, sf001)
     val pairs = graft.operators.ScaleQueries.queries("llm_dedup_simhash")(spark, sf001)

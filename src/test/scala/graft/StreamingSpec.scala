@@ -88,4 +88,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(byN == Seq(1L, 2L), s"expected sessions of 1 and 2 events, got $byN")
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState keeps custom per-user running state") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // custom state: per user, emit (user, running event count, running
+    // max value) after every micro-batch touch — the arbitrary-state
+    // API the session/window builtins can't express
+    val updated = ms.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[(Long, Double)]) =>
+          val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+          var n = n0; var mx = mx0
+          evs.foreach { e => n += 1; mx = math.max(mx, e.value) }
+          state.update((n, mx))
+          Iterator((user, n, mx))
+      }
+      .toDF("user_id", "n_events", "max_value")
+    val q = updated.writeStream.format("memory").queryName("fmgs_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:00:00"), 1, 5.0), Ev(ts("2024-01-01 10:01:00"), 1, 3.0))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:02:00"), 1, 9.0), Ev(ts("2024-01-01 10:03:00"), 2, 1.0))
+      q.processAllAvailable()
+      val byBatch = spark.table("fmgs_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // user 1: first batch state (2, 5.0), second batch state (3, 9.0)
+      assert(byBatch.contains((1L, 2L, 5.0)) && byBatch.contains((1L, 3L, 9.0)))
+      assert(byBatch.contains((2L, 1L, 1.0)))
+    } finally q.stop()
+  }
 }
