@@ -58,7 +58,9 @@ object ScaleQueries {
       while (i < 8) {
         var dot = 0.0
         var j = 0
-        while (j < emb.length) {
+        // hyperplanes are 64-wide; ignore higher dims of a longer vector
+        // instead of throwing (same guard as the IVF assign kernel)
+        while (j < emb.length && j < hyperplanes(i).length) {
           dot += emb(j).toDouble * hyperplanes(i)(j)
           j += 1
         }
@@ -78,37 +80,48 @@ object ScaleQueries {
     "fr" -> Seq("merge", "order", "sort", "line"),
     "zh" -> Seq("spark", "stream", "vector", "key"))
 
+  /** Full MinHash-LSH near-dup pipeline over a (doc_id, text) frame:
+    * shingle → 16 deterministic MinHashes → 4×4 banding → band-equality
+    * candidates → exact-Jaccard verification. Shared by the declared
+    * `llm_dedup_minhash_lsh` query and `tools.ScaleDryRun`, so the scale
+    * dry run always measures the shipped plan.
+    *
+    * explode_outer: no inferred size(sh)>0 filter to push below the
+    * shingle projection (would double-evaluate the kernel per row); the
+    * null rows from shingle-less docs are dropped on the exploded
+    * attribute, which cannot be pushed below the Generate.
+    */
+  def minhashLshPairs(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .withColumn("n", size(col("sh")))
+    val th = sh.select(col("doc_id"), explode_outer(col("sh")).as("s1"))
+      .where(col("s1").isNotNull)
+      .withColumn("h", expr(s"${h60("s1")} % $P"))
+    val minhashAggs = (0 until 16).map { i =>
+      min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(P)).as(s"m$i")
+    }
+    val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
+    val bandStructs = (0 until 4).map { bd =>
+      struct(lit(bd).as("band"),
+        concat_ws(":", (0 until 4).map(r => col(s"m${bd * 4 + r}").cast("string")): _*).as("sig"))
+    }
+    val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
+      .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    verifyJaccard06(cand, sh)
+  }
+
   val queries: Map[String, QFn] = Map(
     // ---- MinHash + LSH banding near-dup (16 hashes, 4 bands × 4 rows) --
-    "llm_dedup_minhash_lsh" -> ((s, dir) => {
-      // explode_outer: no inferred size(sh)>0 filter to push below the
-      // shingle projection (would double-evaluate the kernel per row);
-      // the null rows from shingle-less docs are dropped on the exploded
-      // attribute, which cannot be pushed below the Generate
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("n", size(col("sh")))
-      val th = sh.select(col("doc_id"), explode_outer(col("sh")).as("s1"))
-        .where(col("s1").isNotNull)
-        .withColumn("h", expr(s"${h60("s1")} % $P"))
-      val minhashAggs = (0 until 16).map { i =>
-        min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(P)).as(s"m$i")
-      }
-      val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
-      val bandStructs = (0 until 4).map { bd =>
-        struct(lit(bd).as("band"),
-          concat_ws(":", (0 until 4).map(r => col(s"m${bd * 4 + r}").cast("string")): _*).as("sig"))
-      }
-      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      verifyJaccard06(cand, sh)
-    }),
+    "llm_dedup_minhash_lsh" -> ((s, dir) =>
+      minhashLshPairs(s, Tables.documents(s, dir))),
 
     // ---- 60-bit SimHash over distinct tokens ---------------------------
     // one shuffle: 60 inline ±1 sums per doc (no per-bit row explosion),

@@ -48,34 +48,12 @@ object ScaleDryRun {
     // the data rather than the plan.
     val docs = graft.sources.Tables.documents(spark, dir)
     def dedupShape(k: Int): Long = {
-      import graft.functions.TextShingles.{mkShingles, verifyJaccard06}
       val d = Seq.range(0, k).map(i => docs
         .withColumn("doc_id", col("doc_id") * k + i)
         .withColumn("text", concat(col("text"), lit(s" replica$i marker$i pad$i"))))
         .reduce(_ unionAll _)
-      val sh = d.select(col("doc_id"), mkShingles(col("text")).as("sh"))
-        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .withColumn("n", size(col("sh")))
-      val th = sh.select(col("doc_id"), explode_outer(col("sh")).as("s1"))
-        .where(col("s1").isNotNull)
-        .withColumn("h", expr(
-          "CAST(conv(substring(md5(s1), 1, 15), 16, 10) AS BIGINT) % 2147483647"))
-      val minhashAggs = (0 until 16).map { i =>
-        min((col("h") * lit(2L * i + 1) + lit(i * 12345L + 1)) % lit(2147483647L)).as(s"m$i")
-      }
-      val mh = th.groupBy("doc_id").agg(minhashAggs.head, minhashAggs.tail: _*)
-      val bandStructs = (0 until 4).map { bd =>
-        struct(lit(bd).as("band"),
-          concat_ws(":", (0 until 4).map(r => col(s"m${bd * 4 + r}").cast("string")): _*).as("sig"))
-      }
-      val bands = mh.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
-      val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-        .join(bands.select(col("doc_id").as("b_id"), col("band"), col("sig")),
-          Seq("band", "sig"))
-        .where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      verifyJaccard06(cand, sh).count()
+      // the SHIPPED pipeline, not a copy — tuning the query retunes this
+      graft.operators.ScaleQueries.minhashLshPairs(spark, d).count()
     }
 
     q1(1); join3(1); dedupShape(1) // JIT warm-up

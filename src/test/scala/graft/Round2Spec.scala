@@ -36,8 +36,11 @@ class Round2Spec extends AnyFunSuite {
     val orders = graft.sources.Tables.orders(spark, sf0001)
     val withHuge = orders.where(col("o_totalprice") > 450000.0)
       .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val withF = orders.where(col("o_orderstatus") === "F")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
     val keys = got.collect().map(_.getLong(0))
-    assert(keys.nonEmpty && keys.forall(k => !withHuge.contains(k)))
+    assert(keys.nonEmpty)
+    assert(keys.forall(k => withF.contains(k) && !withHuge.contains(k)))
   }
 
   test("sub_lateral returns at most 2 orders per customer, price-descending") {
