@@ -140,6 +140,57 @@ object Round2Queries {
         .limit(10)
     }),
 
+    // ---- null-safe equality join (<=>) ----------------------------------
+    "join_null_safe" -> ((s, dir) => {
+      // both sides derive a nullable key (status with 'P' nulled); the
+      // null-safe join matches NULL keys to the NULL group, which a
+      // plain equi-join would drop
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("k"))
+      val dim = o.groupBy("k").agg(count(lit(1)).as("k_rows"))
+        .select(col("k").as("dk"), col("k_rows"))
+      o.join(dim, col("k") <=> col("dk"))
+        .select(col("o_orderkey"), col("k"), col("k_rows"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- EXCEPT ALL (multiset difference) -------------------------------
+    "set_except_all" -> ((s, dir) => {
+      // lineitem carries multiple rows per order key, orders exactly one:
+      // the bag difference keeps (multiplicity - 1) copies per key
+      Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))
+        .exceptAll(Tables.orders(s, dir).select(col("o_orderkey").as("k")))
+        .orderBy("k")
+    }),
+
+    // ---- binary encode/decode round trips -------------------------------
+    "fn_encode" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(
+          col("doc_id"),
+          // Spark's base64 is MIME-chunked (CRLF each 76 chars) under the
+          // legacy default; strip to the canonical unwrapped form
+          regexp_replace(base64(col("text").cast("binary")), "\r\n", "").as("b64"),
+          length(unbase64(base64(col("text").cast("binary"))).cast("string"))
+            .cast("long").as("rt_len"),
+          lower(hex(substring(col("text"), 1, 8).cast("binary"))).as("hex8"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- time-interval RANGE window frame --------------------------------
+    "win_range_time" -> ((s, dir) => {
+      Tables.events(s, dir).createOrReplaceTempView("events_v")
+      // count/min/max only — exact under any intra-frame evaluation order
+      s.sql("""SELECT event_id, user_id,
+              |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+              |  min(value) OVER w AS min_last_hour,
+              |  max(value) OVER w AS max_last_hour
+              |FROM events_v
+              |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+              |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+              |ORDER BY event_id""".stripMargin)
+    }),
+
     // ---- URL parsing (host/path/query extraction) ----------------------
     "fn_url" -> ((s, dir) => {
       // URL synthesized from row data, then parsed back with Spark's
@@ -374,6 +425,36 @@ object Round2Queries {
         |SELECT t, cnt, CAST(MIN(btot) AS BIGINT) AS cm_est
         |FROM rws JOIN bt USING (r, b)
         |GROUP BY t, cnt ORDER BY cm_est DESC, t ASC LIMIT 20""".stripMargin,
+
+    "join_null_safe" ->
+      """WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+        |dim AS (SELECT k AS dk, count(*) AS k_rows FROM o GROUP BY k)
+        |SELECT o_orderkey, k, k_rows
+        |FROM o JOIN dim ON k IS NOT DISTINCT FROM dk
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "set_except_all" ->
+      """SELECT l_orderkey AS k FROM lineitem
+        |EXCEPT ALL
+        |SELECT o_orderkey AS k FROM orders
+        |ORDER BY k""".stripMargin,
+
+    "fn_encode" ->
+      """SELECT doc_id,
+        |  base64(encode(text)) AS b64,
+        |  CAST(length(decode(from_base64(base64(encode(text))))) AS BIGINT) AS rt_len,
+        |  lower(hex(encode(substr(text, 1, 8)))) AS hex8
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "win_range_time" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+        |  min(value) OVER w AS min_last_hour,
+        |  max(value) OVER w AS max_last_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "win_sessionize" ->
       """SELECT event_id, user_id,

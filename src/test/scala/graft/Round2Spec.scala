@@ -120,6 +120,54 @@ class Round2Spec extends AnyFunSuite {
     assert(dec == 0)
   }
 
+  test("join_null_safe matches NULL keys to the NULL group") {
+    val got = Round2Queries.queries("join_null_safe")(spark, sf0001)
+    val orders = graft.sources.Tables.orders(spark, sf0001)
+    // every order row survives the null-safe join exactly once
+    assert(got.count() == orders.count())
+    val pCount = orders.where(col("o_orderstatus") === "P").count()
+    if (pCount > 0) {
+      // NULL-key rows carry the NULL group's size, which an equi-join drops
+      val nullRows = got.where(col("k").isNull)
+      assert(nullRows.count() == pCount)
+      assert(nullRows.where(col("k_rows") =!= pCount).count() == 0)
+    }
+  }
+
+  test("set_except_all keeps max(multiplicity difference, 0) per key") {
+    val got = Round2Queries.queries("set_except_all")(spark, sf0001)
+      .groupBy("k").agg(count(lit(1)).as("got_n"))
+    val lc = graft.sources.Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ln"))
+    val oc = graft.sources.Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("on"))
+    val expect = lc.join(oc, Seq("k"), "full_outer")
+      .select(col("k"),
+        greatest(coalesce(col("ln"), lit(0L)) - coalesce(col("on"), lit(0L)), lit(0L)).as("exp_n"))
+      .where(col("exp_n") > 0)
+    val bad = got.join(expect, Seq("k"), "full_outer")
+      .where(coalesce(col("got_n"), lit(-1L)) =!= coalesce(col("exp_n"), lit(-1L))).count()
+    assert(bad == 0 && got.count() > 0)
+  }
+
+  test("fn_encode round-trips text through base64 losslessly") {
+    val got = Round2Queries.queries("fn_encode")(spark, sf0001)
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+    val bad = got.join(docs, "doc_id")
+      .where(col("rt_len") =!= col("text_len")
+        || col("b64").contains("\r") || col("b64").contains("\n")).count()
+    assert(bad == 0 && got.count() > 0)
+  }
+
+  test("win_range_time frame always contains the current row") {
+    val got = Round2Queries.queries("win_range_time")(spark, sf0001)
+    assert(got.where(col("n_last_hour") < 1).count() == 0)
+    assert(got.where(col("min_last_hour") > col("max_last_hour")).count() == 0)
+    // some user has >1 event within an hour, else the frame is untested
+    assert(got.where(col("n_last_hour") > 1).count() > 0)
+  }
+
   test("llm_dedup_cluster endpoints of every pair share a cluster id") {
     val labels = Round2Queries.queries("llm_dedup_cluster")(spark, sf001)
     val pairs = graft.operators.ScaleQueries.queries("llm_dedup_simhash")(spark, sf001)
