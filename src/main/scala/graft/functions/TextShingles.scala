@@ -77,12 +77,67 @@ object ShingleArray {
   }
 }
 
+/** Sorted distinct character 4-grams of a text column — the
+  * character-level sibling of ShingleArray, for n-gram Jaccard dedup
+  * (robust to tokenization differences: whitespace noise, punctuation
+  * splits, and agglutinative scripts where token shingles miss overlap).
+  *
+  * Determinism contract: grams are CODE-POINT windows (matching DuckDB's
+  * `substr(text, i, 4)`, which counts code points, not UTF-16 units or
+  * bytes), distinct, and sorted in UTF-8 byte order — the same order
+  * SortedIntersectCount's merge pass compares with.
+  */
+case class CharGramArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"CharGramArray requires a string input, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    CharGramArray.grams(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharGramArray.grams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramArray =
+    copy(child = newChild)
+}
+
+object CharGramArray {
+  final val N = 4
+
+  /** Compiled kernel shared by interpreted eval and generated code. */
+  def grams(text: UTF8String): ArrayData = {
+    val cps = text.toString.codePoints().toArray
+    if (cps.length < N) return new GenericArrayData(Array.empty[Any])
+    // TreeSet over UTF8String = distinct + UTF-8 byte-order sorted, the
+    // exact order SortedIntersectCount's merge expects
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i <= cps.length - N) {
+      set.add(UTF8String.fromString(new String(cps, i, N)))
+      i += 1
+    }
+    new GenericArrayData(set.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 object TextShingles {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column wrapper: sorted distinct 3-token shingles of a text column. */
   def mkShingles(c: Column): Column =
     ColumnBridge.column(ShingleArray(ColumnBridge.expr(c)))
+
+  /** Column wrapper: sorted distinct character 4-grams of a text column. */
+  def mkCharGrams(c: Column): Column =
+    ColumnBridge.column(CharGramArray(ColumnBridge.expr(c)))
 
   /** Verify candidate pairs against exact shingle Jaccard >= 0.6.
     *
@@ -101,7 +156,12 @@ object TextShingles {
     * single partition (the result is tiny; a global orderBy would
     * range-sample and re-run the whole pipeline).
     */
-  def verifyJaccard06(cand: DataFrame, sh: DataFrame): DataFrame = {
+  def verifyJaccard06(cand: DataFrame, sh: DataFrame): DataFrame =
+    verifyJaccard(cand, sh, tenths = 6)
+
+  /** Threshold-parameterized variant: keeps pairs with Jaccard >= tenths/10
+    * (integer-exact `10·|∩| >= tenths·|∪|`, no float boundary). */
+  def verifyJaccard(cand: DataFrame, sh: DataFrame, tenths: Int): DataFrame = {
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
     cand.join(sa, "a_id").join(sb, "b_id")
@@ -115,7 +175,7 @@ object TextShingles {
       // pushed below the doc-id joins and re-evaluate the shingle kernel
       // inside the sa/sb scan filters (observed: isnotnull(size(
       // shinglearray(text))) in the FileScan DataFilters)
-      .where(coalesce(col("inter") * 10 >= col("uni") * 6, lit(false)))
+      .where(coalesce(col("inter") * 10 >= col("uni") * tenths, lit(false)))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.QueryUtils._
+import graft.sources.Tables
+
+/** §2.N (continued) — training-data pipeline additions: deterministic
+  * hash sampling (reproducible corpus down-sampling — the workhorse of
+  * every ablation/holdout split at 100 TB), stratified per-language
+  * sampling, character n-gram Jaccard near-dup (the brief's fourth dedup
+  * family member, robust where token shingles miss overlap), and an
+  * explicitly salted skew-safe JOIN (the join-side sibling of
+  * `agg_skew_salted`).
+  *
+  * Scale notes:
+  *  - hash sampling is a map-only filter — no shuffle, no state, and the
+  *    same rows are selected on any cluster size or partitioning (the
+  *    md5-derived bucket is a pure function of the row key);
+  *  - stratified sampling is one window per stratum key — a single
+  *    shuffle keyed by the stratum, bounded output per group;
+  *  - char-4-gram near-dup reuses the PPJoin prefix-filter machinery of
+  *    `llm_dedup_near` (candidates from order-minimal rare-gram
+  *    prefixes, not O(n²)) and the shared merge-pass verify kernel;
+  *  - the salted join replicates the small build side R times instead of
+  *    letting one hot probe key serialize into a single reducer; the
+  *    decimal partials make it provably equal to the unsalted oracle.
+  */
+object PipelineQueries {
+
+  import graft.functions.TextShingles.{mkCharGrams, verifyJaccard}
+
+  /** md5-derived 60-bit non-negative int of a key column (engine-portable:
+    * DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` computes the same). */
+  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  val queries: Map[String, QFn] = Map(
+    // ---- deterministic 10% hash sample ---------------------------------
+    "llm_sample_hash" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .withColumn("bucket", hash60(col("doc_id").cast("string")) % 100)
+        .where(col("bucket") < 10)
+        .select(col("doc_id"), col("lang"), col("source"), col("bucket"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- stratified per-language sample (k=20 per stratum) -------------
+    "llm_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy("lang")
+        .orderBy(col("h").asc, col("doc_id").asc)
+      Tables.documents(s, dir)
+        .withColumn("h", hash60(col("doc_id").cast("string")))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 20)
+        .select(col("doc_id"), col("lang"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- character 4-gram Jaccard near-dup (threshold 0.7) -------------
+    // Same PPJoin shape as llm_dedup_near, over code-point 4-grams: each
+    // doc explodes only its order-minimal prefix of n - ceil(0.7n) + 1
+    // grams under (document frequency ASC, gram ASC), so a pair with
+    // J >= 0.7 must share a prefix gram (lossless), and candidate volume
+    // tracks the corpus-RAREST grams rather than O(n²). The DuckDB
+    // oracle brute-forces the same semantics.
+    "llm_dedup_ngram" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), mkCharGrams(col("text")).as("sh"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("n", size(col("sh")))
+      // explode_outer (not explode): no inferred size(sh) > 0 generator
+      // filter for the optimizer to push below the projection, which
+      // would re-evaluate the gram kernel in the scan stage
+      val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
+        .where(col("s").isNotNull)
+      val dfs = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+      val pref = ex.join(dfs, "s")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= col("n") - ceil(col("n") * lit(0.7)).cast("int") + 1)
+        .select("doc_id", "s")
+      val pa = pref.select(col("doc_id").as("a_id"), col("s"))
+      val pb = pref.select(col("doc_id").as("b_id"), col("s"))
+      val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      verifyJaccard(cand, sh, tenths = 7)
+    }),
+
+    // ---- explicitly salted skew-safe join -------------------------------
+    // lineitem ⋈ supplier with the build side replicated over 8 salts and
+    // the probe side salted by pmod(l_orderkey, 8): a hot supplier key
+    // fans over 8 reducers instead of serializing into one. Decimal
+    // partial sums make the two-stage result provably equal to the plain
+    // join the oracle runs.
+    "join_skew_salted" -> ((s, dir) => {
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("salt", explode(array((0 until 8).map(lit): _*)))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"),
+          pmod(col("l_orderkey"), lit(8)).cast("int").as("salt"))
+      li.join(sup,
+          li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+        .groupBy("s_nationkey")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("s_nationkey")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "llm_sample_hash" ->
+      """SELECT doc_id, lang, source,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "llm_sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk
+        |  FROM h)
+        |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
+
+    "llm_dedup_ngram" ->
+      """WITH g AS (SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, length(text) - 3),
+        |                                 i -> substr(text, i, 4))) AS gr
+        |  FROM documents WHERE length(text) >= 4),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    len(list_intersect(a.gr, b.gr)) AS inter,
+        |    len(a.gr) AS na, len(b.gr) AS nb
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT a_id AS doc_a, b_id AS doc_b,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+        |FROM p WHERE inter * 10 >= (na + nb - inter) * 7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "join_skew_salted" ->
+      """SELECT s_nationkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin)
+}

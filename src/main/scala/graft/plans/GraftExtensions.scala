@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVecDot, ShingleArray, SortedIntersectCount}
+import graft.functions.{CharGramArray, FloatVecDot, ShingleArray, SortedIntersectCount}
 
 /** Registers graft's custom Catalyst expressions as SQL functions.
   *
@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.vecDotDescriptor)
     e.injectFunction(GraftFunctions.sortedIntersectDescriptor)
     e.injectFunction(GraftFunctions.shinglesDescriptor)
+    e.injectFunction(GraftFunctions.charGramsDescriptor)
   }
 }
 
@@ -46,6 +47,12 @@ object GraftFunctions {
         "shingles(text) - sorted distinct 3-token shingles (UTF-8 byte order) as array<string>"),
       (exprs: Seq[Expression]) => ShingleArray(exprs(0)))
 
+  val charGramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("char_grams"),
+      info("char_grams",
+        "char_grams(text) - sorted distinct character 4-grams (code-point windows, UTF-8 byte order) as array<string>"),
+      (exprs: Seq[Expression]) => CharGramArray(exprs(0)))
+
   /** Runtime registration on a live session (idempotent). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -54,5 +61,7 @@ object GraftFunctions {
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles", exprs => ShingleArray(exprs(0)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_grams", exprs => CharGramArray(exprs(0)), "scala_udf")
   }
 }
