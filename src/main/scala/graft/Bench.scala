@@ -40,6 +40,12 @@ object Bench {
       .sortBy(n => if (n.startsWith("scan_")) 0 else 1)
     val results = ordered.map { name =>
       val fn = SparkEntry.queries(name)
+      // untimed full GC per query: earlier queries' shuffle/broadcast
+      // garbage (and the ContextCleaner work it triggers) must not be
+      // paid inside a later query's timing — measured: the heavy dedup
+      // queries ran up to 7x their steady-state cost when the first GC
+      // of the timed loop landed inside them
+      System.gc()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>

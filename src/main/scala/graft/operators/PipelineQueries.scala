@@ -21,7 +21,7 @@ import graft.sources.Tables
   *    md5-derived bucket is a pure function of the row key);
   *  - stratified sampling is one window per stratum key — a single
   *    shuffle keyed by the stratum, bounded output per group;
-  *  - char-4-gram near-dup reuses the PPJoin prefix-filter machinery of
+  *  - char-20-gram near-dup reuses the PPJoin prefix-filter machinery of
   *    `llm_dedup_near` (candidates from order-minimal rare-gram
   *    prefixes, not O(n²)) and the shared merge-pass verify kernel;
   *  - the salted join replicates the small build side R times instead of
@@ -59,33 +59,70 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // ---- character 4-gram Jaccard near-dup (threshold 0.7) -------------
-    // Same PPJoin shape as llm_dedup_near, over code-point 4-grams: each
+    // ---- character 20-gram Jaccard near-dup (threshold 0.7) -------------
+    // Same PPJoin shape as llm_dedup_near, over code-point 20-grams: each
     // doc explodes only its order-minimal prefix of n - ceil(0.7n) + 1
     // grams under (document frequency ASC, gram ASC), so a pair with
     // J >= 0.7 must share a prefix gram (lossless), and candidate volume
-    // tracks the corpus-RAREST grams rather than O(n²). The DuckDB
-    // oracle brute-forces the same semantics.
+    // tracks the corpus-RAREST grams rather than O(n²). On top of the
+    // prefix filter, the candidate join applies PPJoin's POSITIONAL
+    // filter: if a shared gram sits at rank i of A's grams and rank j of
+    // B's (both ranked by the same global (df, gram) order), then
+    // |A∩B| <= min(i-1, j-1) + min(na-i, nb-j) + 1 — grams strictly
+    // before the match in one doc can only intersect grams strictly
+    // before it in the other, and likewise after. A true pair passes
+    // this bound at EVERY shared gram (the bound dominates the true
+    // intersection), so keeping a pair only when its MINIMUM bound over
+    // all shared prefix grams satisfies
+    // bound*17 >= 7*(na+nb)  (i.e. bound >= ceil(0.7/1.7 * (na+nb)))
+    // is lossless — and strictly stronger than testing any single
+    // match. A third lossless cut is the LENGTH filter: J >= 0.7 forces
+    // 7*max(na,nb) <= 10*min(na,nb), applied inside the join. The
+    // DuckDB oracle brute-forces the same semantics.
     "llm_dedup_ngram" -> ((s, dir) => {
+      // The gram table and its prefix table each feed BOTH sides of a
+      // self-join; Spark plans no exchange reuse across the renamed
+      // sides (measured: the explode+window pipeline executed 4x, ~2x
+      // the query's total cost), so both intermediates are eagerly
+      // localCheckpoint'ed — the standard materialize-the-shared-
+      // intermediate move, same pattern as llm_dedup_cluster's
+      // iteration state. Both tables are corpus-linear and compact
+      // (grams: one array per doc; prefix: ~30% of gram occurrences),
+      // stored as executor-local blocks, never a driver collect.
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), mkCharGrams(col("text")).as("sh"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("n", size(col("sh")))
+        .localCheckpoint(true)
       // explode_outer (not explode): no inferred size(sh) > 0 generator
       // filter for the optimizer to push below the projection, which
       // would re-evaluate the gram kernel in the scan stage
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)
-      val dfs = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      // document frequency as a window count over the gram — one pass
+      // over the exploded grams (two window shuffles), instead of
+      // groupBy + re-join, which would evaluate the explode pipeline
+      // twice (measured ~2x the candidate-generation cost)
+      val wdf = Window.partitionBy("s")
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val pref = ex.join(dfs, "s")
+      val pref = ex.withColumn("df", count(lit(1)).over(wdf))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= col("n") - ceil(col("n") * lit(0.7)).cast("int") + 1)
-        .select("doc_id", "s")
-      val pa = pref.select(col("doc_id").as("a_id"), col("s"))
-      val pb = pref.select(col("doc_id").as("b_id"), col("s"))
-      val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+        .select("doc_id", "s", "rk", "n")
+        .localCheckpoint(true)
+      val pa = pref.select(col("doc_id").as("a_id"), col("s"),
+        col("rk").as("rka"), col("n").as("na"))
+      val pb = pref.select(col("doc_id").as("b_id"), col("s"),
+        col("rk").as("rkb"), col("n").as("nb"))
+      val bound = least(col("rka") - 1, col("rkb") - 1) +
+        least(col("na") - col("rka"), col("nb") - col("rkb")) + lit(1)
+      val lenOk = greatest(col("na"), col("nb")) * 7 <=
+        least(col("na"), col("nb")) * 10
+      val cand = pa.join(pb, "s")
+        .where(col("a_id") < col("b_id") && lenOk)
+        .groupBy("a_id", "b_id", "na", "nb").agg(min(bound).as("mb"))
+        .where(col("mb") * 17 >= (col("na") + col("nb")) * 7)
+        .select("a_id", "b_id")
       verifyJaccard(cand, sh, tenths = 7)
     }),
 
@@ -132,9 +169,9 @@ object PipelineQueries {
 
     "llm_dedup_ngram" ->
       """WITH g AS (SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, length(text) - 3),
-        |                                 i -> substr(text, i, 4))) AS gr
-        |  FROM documents WHERE length(text) >= 4),
+        |    list_distinct(list_transform(generate_series(1, length(text) - 19),
+        |                                 i -> substr(text, i, 20))) AS gr
+        |  FROM documents WHERE length(text) >= 20),
         |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |    len(list_intersect(a.gr, b.gr)) AS inter,
         |    len(a.gr) AS na, len(b.gr) AS nb

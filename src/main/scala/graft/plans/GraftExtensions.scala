@@ -50,7 +50,7 @@ object GraftFunctions {
   val charGramsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
     (FunctionIdentifier("char_grams"),
       info("char_grams",
-        "char_grams(text) - sorted distinct character 4-grams (code-point windows, UTF-8 byte order) as array<string>"),
+        "char_grams(text) - sorted distinct character 20-grams (code-point windows, UTF-8 byte order) as array<string>"),
       (exprs: Seq[Expression]) => CharGramArray(exprs(0)))
 
   /** Runtime registration on a live session (idempotent). */

@@ -98,10 +98,11 @@ class PipelineSurfaceSpec extends AnyFunSuite {
 
   test("char_grams SQL registration plans the codegen'd expression") {
     graft.plans.GraftFunctions.register(spark)
-    val r = spark.sql("SELECT char_grams('abcdef') AS g").head().getSeq[String](0)
-    assert(r == Seq("abcd", "bcde", "cdef"))
-    // distinct + UTF-8 byte-order sorted
-    val r2 = spark.sql("SELECT char_grams('aaaaa') AS g").head().getSeq[String](0)
-    assert(r2 == Seq("aaaa"))
+    val r = spark.sql("SELECT char_grams('abcdefghijklmnopqrstuv') AS g").head().getSeq[String](0)
+    assert(r == Seq("abcdefghijklmnopqrst", "bcdefghijklmnopqrstu", "cdefghijklmnopqrstuv"))
+    // distinct + too-short inputs
+    val r2 = spark.sql("SELECT char_grams('aaaaaaaaaaaaaaaaaaaaa') AS g").head().getSeq[String](0)
+    assert(r2 == Seq("aaaaaaaaaaaaaaaaaaaa"))
+    assert(spark.sql("SELECT char_grams('short') AS g").head().getSeq[String](0).isEmpty)
   }
 }
