@@ -52,22 +52,44 @@ object LlmQueries {
       // `size(sh) > 0` filter to push below the projection — that
       // pushdown would re-evaluate the shingle kernel a second time per
       // row in the scan stage.
+      // Same staging as llm_dedup_ngram (PipelineQueries): the shingle
+      // and prefix tables feed both sides of a self-join with no
+      // exchange reuse across the renamed sides, so both are eagerly
+      // localCheckpoint'ed; document frequency is a window count over
+      // the exploded shingles (one pass) instead of groupBy + re-join
+      // (two evaluations of the explode pipeline). Candidates then pass
+      // two further lossless cuts: the length-ratio filter
+      // (J >= 0.6 forces 3*max(na,nb) <= 5*min(na,nb)) and PPJoin's
+      // positional bound taken as a MINIMUM over all shared prefix
+      // shingles — |A∩B| <= min(i-1,j-1) + min(na-i,nb-j) + 1 at every
+      // shared position, so a true pair satisfies the bound everywhere.
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), mkShingles(col("text")).as("sh"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("n", size(col("sh")))
+        .localCheckpoint(true)
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)
-      val dfs = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val wdf = Window.partitionBy("s")
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val pref = ex.join(dfs, "s")
+      val pref = ex.withColumn("df", count(lit(1)).over(wdf))
         .withColumn("rk", row_number().over(w))
         .where(col("rk") <= col("n") - ceil(col("n") * lit(0.6)).cast("int") + 1)
-        .select("doc_id", "s")
-      val pa = pref.select(col("doc_id").as("a_id"), col("s"))
-      val pb = pref.select(col("doc_id").as("b_id"), col("s"))
-      val cand = pa.join(pb, "s").where(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+        .select("doc_id", "s", "rk", "n")
+        .localCheckpoint(true)
+      val pa = pref.select(col("doc_id").as("a_id"), col("s"),
+        col("rk").as("rka"), col("n").as("na"))
+      val pb = pref.select(col("doc_id").as("b_id"), col("s"),
+        col("rk").as("rkb"), col("n").as("nb"))
+      val bound = least(col("rka") - 1, col("rkb") - 1) +
+        least(col("na") - col("rka"), col("nb") - col("rkb")) + lit(1)
+      val lenOk = greatest(col("na"), col("nb")) * 3 <=
+        least(col("na"), col("nb")) * 5
+      val cand = pa.join(pb, "s")
+        .where(col("a_id") < col("b_id") && lenOk)
+        .groupBy("a_id", "b_id", "na", "nb").agg(min(bound).as("mb"))
+        .where(col("mb") * 8 >= (col("na") + col("nb")) * 3)
+        .select("a_id", "b_id")
       verifyJaccard06(cand, sh)
     }),
 
