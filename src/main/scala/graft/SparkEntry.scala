@@ -23,7 +23,8 @@ object SparkEntry {
       WindowQueries.queries ++ SetQueries.queries ++ FnQueries.queries ++
       GenQueries.queries ++ StreamQueries.queries ++ LlmQueries.queries ++
       UdfQueries.queries ++ ScaleQueries.queries ++ ExtraQueries.queries ++
-      Round2Queries.queries ++ PipelineQueries.queries ++ SurfaceQueries.queries
+      Round2Queries.queries ++ PipelineQueries.queries ++ SurfaceQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       WindowQueries.oracles ++ SetQueries.oracles ++ FnQueries.oracles ++
       GenQueries.oracles ++ StreamQueries.oracles ++ LlmQueries.oracles ++
       UdfQueries.oracles ++ ScaleQueries.oracles ++ ExtraQueries.oracles ++
-      Round2Queries.oracles ++ PipelineQueries.oracles ++ SurfaceQueries.oracles
+      Round2Queries.oracles ++ PipelineQueries.oracles ++ SurfaceQueries.oracles ++
+      CurationQueries.oracles
 }

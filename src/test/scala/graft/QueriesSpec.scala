@@ -32,7 +32,8 @@ class QueriesSpec extends AnyFunSuite {
       WindowQueries.queries, SetQueries.queries, FnQueries.queries,
       GenQueries.queries, StreamQueries.queries, LlmQueries.queries,
       UdfQueries.queries, ScaleQueries.queries, ExtraQueries.queries,
-      Round2Queries.queries, PipelineQueries.queries, SurfaceQueries.queries)
+      Round2Queries.queries, PipelineQueries.queries, SurfaceQueries.queries,
+      CurationQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
