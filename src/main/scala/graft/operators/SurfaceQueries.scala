@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.QueryUtils._
 import graft.sources.Tables
@@ -95,6 +96,43 @@ object SurfaceQueries {
         .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
         .json(out)
         .orderBy("o_orderkey")
+    }),
+
+    // ---- bucketed co-located fact-fact join -----------------------------
+    // Both fact tables are written bucketed+sorted on the join key (8
+    // buckets) and re-read through the catalog: the sort-merge join then
+    // plans with ZERO exchanges on either side — bucket layout replaces
+    // the shuffle — and the follow-up per-orderkey aggregation reuses
+    // the same bucketed distribution (no exchange there either; the
+    // only exchange in the whole plan is the final presentation sort).
+    // This is the production shape for repeated large-fact joins at
+    // 100 TB: pay the shuffle once at write time, join for free forever
+    // after. The `merge` hint pins SMJ so the demo does not silently
+    // degrade to a broadcast join at toy scale. Plan asserted in
+    // BucketedJoinSpec; results oracle-checked like any query.
+    "join_bucketed" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (tl, to) = (s"li_bkt_$tag", s"ord_bkt_$tag")
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite")
+        .option("path", scratch("bktli", dir))
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tl)
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderdate")
+        .write.mode("overwrite")
+        .option("path", scratch("bktord", dir))
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(to)
+      s.table(tl).hint("merge")
+        .join(s.table(to), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderkey")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -131,5 +169,15 @@ object SurfaceQueries {
 
     "source_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // the oracle joins the canonical parquet directly — equality proves
+    // the bucketed write+read layout preserved every row
+    "join_bucketed" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY o_orderkey""".stripMargin)
 }
