@@ -58,6 +58,15 @@ object CurationQueries {
     // Per doc: token count, distinct-token ratio, most-frequent-token
     // fraction, duplicate-bigram fraction. All ratios rounded to 4
     // decimals (repo determinism convention).
+    //
+    // MAP-ONLY by design: every signal is a per-row function of the
+    // token array, so there is no reason to explode tokens into rows
+    // and shuffle on (doc_id, token). The most-frequent-token count is
+    // the longest run of equal elements in the SORTED token array,
+    // computed with an aggregate() HOF over a (prev, run, best) struct
+    // accumulator — one pass per row, no exchange anywhere in the plan.
+    // At 100 TB this is the difference between a scan-shaped job and a
+    // corpus-sized token shuffle.
     "llm_quality_repetition" -> ((s, dir) => {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"),
@@ -66,17 +75,22 @@ object CurationQueries {
         .select(col("doc_id"), col("tok"),
           transform(sequence(lit(0), size(col("tok")) - 2),
             i => concat_ws(" ", slice(col("tok"), i + 1, lit(2)))).as("big"))
-      val perTok = toks
-        .select(col("doc_id"), size(col("tok")).as("n_tok"),
+      toks
+        .select(col("doc_id"),
+          size(col("tok")).cast("long").as("n_tok"),
+          size(array_distinct(col("tok"))).as("d_tok"),
+          aggregate(array_sort(col("tok")),
+            struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+            (acc, x) => {
+              val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+              struct(x.as("prev"), run.as("run"),
+                greatest(acc("best"), run).as("best"))
+            },
+            acc => acc("best")).as("top_c"),
           size(col("big")).as("n_big"),
-          size(array_distinct(col("big"))).as("d_big"),
-          explode(col("tok")).as("t"))
-        .groupBy("doc_id", "n_tok", "n_big", "d_big", "t")
-        .agg(count(lit(1)).as("c"))
-      perTok.groupBy("doc_id", "n_tok", "n_big", "d_big")
-        .agg(max(col("c")).as("top_c"), count(lit(1)).as("n_distinct"))
-        .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
-          round(col("n_distinct").cast("double") / col("n_tok"), 4)
+          size(array_distinct(col("big"))).as("d_big"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("d_tok").cast("double") / col("n_tok"), 4)
             .as("distinct_ratio"),
           round(col("top_c").cast("double") / col("n_tok"), 4)
             .as("top_token_frac"),
@@ -98,6 +112,57 @@ object CurationQueries {
           when(col("norm_text") === "", lit(0))
             .otherwise(size(split(col("norm_text"), " "))).cast("long"))
         .orderBy("doc_id")
+    }),
+
+    // ---- BM25 relevance scoring (fixed query terms) ---------------------
+    // Per (doc, term) BM25 partial score for the query {data, table, row}
+    // with k1=1.2, b=0.75. Deliberately emitted per term — summing the
+    // partials would be a cross-row DOUBLE sum whose accumulation order
+    // is nondeterministic; per-term rows keep every float op row-local
+    // and IEEE-reproducible (the caller sums after rounding if they want
+    // a total). Shapes: explode + two keyed aggs + one 3-row term join;
+    // n_docs/avgdl ride in on a single-row cross join.
+    "llm_bm25" -> ((s, dir) => {
+      val terms = Seq("data", "table", "row")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(filter(split(col("text"), " "), t => t =!= ""))
+            .cast("double").as("dl"))
+      val globals = docs.agg(count(lit(1)).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
+        .where(col("t").isin(terms: _*))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "t").join(docs, "doc_id").crossJoin(globals)
+        .select(col("doc_id"), col("t").as("term"), col("tf"),
+          round(
+            log((col("n_docs").cast("double") - col("df") + lit(0.5))
+              / (col("df") + lit(0.5)) + lit(1.0)) *
+            ((col("tf") * lit(2.2))
+              / (col("tf") + lit(1.2) *
+                 (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))),
+            4).as("bm25"))
+        .orderBy("doc_id", "term")
+    }),
+
+    // ---- per-label embedding centroid -----------------------------------
+    // Element-wise mean of the embedding vectors per label, emitted in
+    // LONG form (label, pos, mean) — no array output (driver comparator)
+    // and no vector re-assembly shuffle. posexplode + one keyed agg;
+    // partial aggregation makes the map side emit 64 partial sums per
+    // (label, partition), so the shuffle is label-cardinality-bounded.
+    "llm_centroid" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(round(avg(col("v").cast("double")), 4).as("mean_v"),
+          count(lit(1)).as("n_vecs"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("mean_v"), col("n_vecs"))
+        .orderBy("label", "pos")
     }),
 
     // ---- canonical-document selection per exact-dup group --------------
@@ -157,6 +222,33 @@ object CurationQueries {
         |                      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' '))
         |  END AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "llm_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+        |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        |        FROM documents)
+        |  WHERE t IN ('data', 'table', 'row')
+        |  GROUP BY doc_id, t),
+        |df AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t)
+        |SELECT tf.doc_id, tf.t AS term, tf.tf,
+        |  round(
+        |    ln((CAST(g.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |    ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))),
+        |    4) AS bm25
+        |FROM tf JOIN df USING (t) JOIN d ON tf.doc_id = d.doc_id CROSS JOIN g
+        |ORDER BY tf.doc_id, term""".stripMargin,
+
+    "llm_centroid" ->
+      """SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+        |  round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS mean_v,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS t(i)
+        |GROUP BY label, i
+        |ORDER BY label, pos""".stripMargin,
 
     "llm_dedup_canonical" ->
       """WITH r AS (SELECT md5(text) AS text_md5, doc_id, n_chars,

@@ -62,6 +62,49 @@ class CurationSpec extends AnyFunSuite {
         .otherwise(size(split(col("norm_text"), " ")))).count() == 0)
   }
 
+  test("llm_bm25 partial scores match a hand computation for one doc") {
+    val got = CurationQueries.queries("llm_bm25")(spark, sf0001)
+    assert(got.where(!col("term").isin("data", "table", "row")).count() == 0)
+    assert(got.where(col("tf") <= 0).count() == 0)
+    // recompute one (doc, term) row from raw text
+    val row = got.orderBy("doc_id", "term").head()
+    val docId = row.getLong(0)
+    val term = row.getString(1)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(' ').filter(_.nonEmpty)))
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toDouble).sum / nDocs
+    val dl = docs.find(_._1 == docId).get._2.length.toDouble
+    val tf = docs.find(_._1 == docId).get._2.count(_ == term).toDouble
+    val dfreq = docs.count(_._2.contains(term)).toDouble
+    val idf = math.log((nDocs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+    val expect = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    assert(row.getLong(2) == tf.toLong)
+    assert(math.abs(row.getDouble(3) - expect) < 5e-4)
+  }
+
+  test("llm_centroid covers every (label, pos) cell with the element mean") {
+    val got = CurationQueries.queries("llm_centroid")(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val labels = emb.select(countDistinct(col("label"))).head().getLong(0)
+    assert(got.count() == labels * dim)
+    // n_vecs per label matches the table, independent of pos
+    val counts = emb.groupBy("label").count()
+      .withColumnRenamed("count", "true_n")
+    assert(got.join(counts, "label")
+      .where(col("n_vecs") =!= col("true_n")).count() == 0)
+    // hand-check one cell
+    val r = got.orderBy("label", "pos").head()
+    val vs = emb.where(col("label") === r.getInt(0))
+      .select(col("embedding").getItem(r.getLong(1).toInt).cast("double"))
+      .collect().map(_.getDouble(0))
+    val expect = BigDecimal(vs.sum / vs.length)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(2) - expect) < 2e-4)
+  }
+
   test("llm_dedup_canonical keeps one row per distinct text and prefers longer docs") {
     val got = CurationQueries.queries("llm_dedup_canonical")(spark, sf0001)
     val distinctTexts = Tables.documents(spark, sf0001)
