@@ -24,7 +24,9 @@ object SparkEntry {
       GenQueries.queries ++ StreamQueries.queries ++ LlmQueries.queries ++
       UdfQueries.queries ++ ScaleQueries.queries ++ ExtraQueries.queries ++
       Round2Queries.queries ++ PipelineQueries.queries ++ SurfaceQueries.queries ++
-      CurationQueries.queries ++ CorpusStatsQueries.queries
+      CurationQueries.queries ++ CorpusStatsQueries.queries ++
+      TrainPrepQueries.queries ++ TpchQueries.queries ++
+      StatSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +36,7 @@ object SparkEntry {
       GenQueries.oracles ++ StreamQueries.oracles ++ LlmQueries.oracles ++
       UdfQueries.oracles ++ ScaleQueries.oracles ++ ExtraQueries.oracles ++
       Round2Queries.oracles ++ PipelineQueries.oracles ++ SurfaceQueries.oracles ++
-      CurationQueries.oracles ++ CorpusStatsQueries.oracles
+      CurationQueries.oracles ++ CorpusStatsQueries.oracles ++
+      TrainPrepQueries.oracles ++ TpchQueries.oracles ++
+      StatSurfaceQueries.oracles
 }

@@ -33,7 +33,9 @@ class QueriesSpec extends AnyFunSuite {
       GenQueries.queries, StreamQueries.queries, LlmQueries.queries,
       UdfQueries.queries, ScaleQueries.queries, ExtraQueries.queries,
       Round2Queries.queries, PipelineQueries.queries, SurfaceQueries.queries,
-      CurationQueries.queries, CorpusStatsQueries.queries)
+      CurationQueries.queries, CorpusStatsQueries.queries,
+      TrainPrepQueries.queries, TpchQueries.queries,
+      StatSurfaceQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
