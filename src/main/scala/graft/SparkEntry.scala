@@ -26,7 +26,7 @@ object SparkEntry {
       Round2Queries.queries ++ PipelineQueries.queries ++ SurfaceQueries.queries ++
       CurationQueries.queries ++ CorpusStatsQueries.queries ++
       TrainPrepQueries.queries ++ TpchQueries.queries ++
-      StatSurfaceQueries.queries
+      StatSurfaceQueries.queries ++ DepthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +38,5 @@ object SparkEntry {
       Round2Queries.oracles ++ PipelineQueries.oracles ++ SurfaceQueries.oracles ++
       CurationQueries.oracles ++ CorpusStatsQueries.oracles ++
       TrainPrepQueries.oracles ++ TpchQueries.oracles ++
-      StatSurfaceQueries.oracles
+      StatSurfaceQueries.oracles ++ DepthQueries.oracles
 }

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryUtils._
+import graft.sources.Tables
+
+/** Depth batch (round 2, batch 6): bigram language-model scoring (the
+  * statistical perplexity proxy for corpus quality), a partitioned
+  * parquet source with partition pruning, timezone-aware datetime
+  * conversion, and argmin/argmax aggregates.
+  *
+  * Scale notes (100 TB):
+  *  - `llm_bigram_score` is the classic two-pass count-then-score LM
+  *    build: bigram occurrences (corpus-linear), two counting shuffles
+  *    keyed by bigram/context (map-side combined), one join back to
+  *    occurrences (shuffle on the same keys — co-partitioned with the
+  *    counts), and a final per-doc aggregation. Everything grows
+  *    linearly with the corpus; the model tables (distinct bigrams)
+  *    grow sub-linearly and would be the broadcast side when they fit.
+  *  - `source_partitioned_pruned` writes lang-partitioned parquet and
+  *    reads two partitions back: the scan must show PartitionFilters
+  *    (asserted in DepthSpec) — at 100 TB partition pruning IS the
+  *    difference between scanning 2 TB and 100 TB.
+  *  - `fn_datetime_tz` / `agg_argminmax` are map-only / one bounded
+  *    aggregation respectively.
+  */
+object DepthQueries {
+
+  /** Per-sfdir scratch dir for the partitioned write (overwritten per run). */
+  private def scratch(kind: String, dir: String): String = {
+    val sf = dir.replaceAll(".*/", "")
+    s"/tmp/graft_scratch/depth_${kind}_$sf"
+  }
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- bigram LM quality score ---------------------------------------
+    // Per-doc mean log2 P(w_i | w_{i-1}) under the corpus's own MLE
+    // bigram model (P = c(w1 w2) / c(w1 ·)) — the perplexity-proxy
+    // quality score: templated/repeated text scores near 0, anomalous
+    // word salad goes strongly negative. Per-bigram terms are rounded
+    // to 6 places then summed as decimal(18,6), so the per-doc sum is
+    // exact and order-free on both engines.
+    "llm_bigram_score" -> ((s, dir) => {
+      val occ = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("tok"))
+        .where(size(col("tok")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok) - 1), i -> named_struct(" +
+            "'w1', element_at(tok, i), " +
+            "'bg', concat(element_at(tok, i), ' ', element_at(tok, i + 1))))"))
+          .as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+      val bgc = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val ugc = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+      occ.join(bgc, "bg").join(ugc, "w1")
+        .select(col("doc_id"),
+          round(log2(col("c2")) - log2(col("c1")), 6)
+            .cast(DecimalType(18, 6)).as("term"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("term").as("s"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("s").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- lang-partitioned parquet + partition pruning -------------------
+    // Writes the corpus hive-partitioned by language, reads exactly two
+    // partitions back, and aggregates. Correctness = equality with the
+    // oracle over the canonical parquet; the plan-level guarantee (the
+    // scan prunes to lang=en/fr via PartitionFilters, not a full scan +
+    // filter) is asserted in DepthSpec.
+    "source_partitioned_pruned" -> ((s, dir) => {
+      val out = scratch("part", dir)
+      Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .where(col("lang").isin("en", "fr"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .orderBy("lang", "source")
+    }),
+
+    // ---- timezone conversion --------------------------------------------
+    // UTC order timestamps rendered as Tokyo wall clock, re-anchored
+    // from New-York wall clock, and bucketed by Tokyo calendar date —
+    // the multi-region reporting primitives. Order dates are midnight
+    // UTC, so neither conversion ever lands in a DST gap.
+    "fn_datetime_tz" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          from_utc_timestamp(col("o_orderdate"), "Asia/Tokyo").as("tokyo_wall"),
+          to_utc_timestamp(col("o_orderdate"), "America/New_York").as("utc_of_ny"),
+          to_date(from_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"))
+            .as("tokyo_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- argmin / argmax aggregates -------------------------------------
+    // Richest and poorest customer per market segment. The argmax key
+    // packs (balance, custkey) into one bigint — balances are 2-decimal
+    // money, so round(bal*100)*10^7 + custkey is a total order and the
+    // tie on equal balances breaks deterministically on the key (the
+    // plain max_by(x, bal) would be free to pick either duplicate).
+    "agg_argminmax" -> ((s, dir) => {
+      val packed = (round(col("c_acctbal") * 100) * 10000000L +
+        col("c_custkey")).cast("long")
+      Tables.customer(s, dir)
+        .withColumn("pk", packed)
+        .groupBy("c_mktsegment")
+        .agg(
+          max_by(col("c_custkey"), col("pk")).as("richest_custkey"),
+          max(col("c_acctbal")).as("max_bal"),
+          min_by(col("c_custkey"), col("pk")).as("poorest_custkey"),
+          min(col("c_acctbal")).as("min_bal"))
+        .orderBy("c_mktsegment")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_bigram_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tok
+        |  FROM documents),
+        |occ0 AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(tok) - 1),
+        |      i -> struct_pack(w1 := tok[i], bg := tok[i] || ' ' || tok[i+1]))) AS x
+        |  FROM t WHERE len(tok) >= 2),
+        |occ AS (SELECT doc_id, x.w1 AS w1, x.bg AS bg FROM occ0),
+        |bgc AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
+        |ugc AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
+        |per AS (SELECT doc_id,
+        |    CAST(round(log2(c2) - log2(c1), 6) AS DECIMAL(18,6)) AS term
+        |  FROM occ JOIN bgc USING (bg) JOIN ugc USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_logp
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "source_partitioned_pruned" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "fn_datetime_tz" ->
+      """SELECT o_orderkey,
+        |  timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ) AS tokyo_wall,
+        |  CAST(timezone('America/New_York', o_orderdate) AS TIMESTAMP) AS utc_of_ny,
+        |  CAST(timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ) AS DATE) AS tokyo_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "agg_argminmax" ->
+      """WITH p AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100) * 10000000 + c_custkey AS BIGINT) AS pk
+        |  FROM customer)
+        |SELECT c_mktsegment,
+        |  max_by(c_custkey, pk) AS richest_custkey, max(c_acctbal) AS max_bal,
+        |  min_by(c_custkey, pk) AS poorest_custkey, min(c_acctbal) AS min_bal
+        |FROM p GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  )
+}
