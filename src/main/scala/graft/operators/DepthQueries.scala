@@ -101,6 +101,43 @@ object DepthQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- incremental-crawl dedup -----------------------------------------
+    // New-batch docs (doc_id % 3 == 0) are kept only if their exact text
+    // hash is absent from the already-indexed corpus (doc_id % 3 != 0) —
+    // the anti-join every recurring crawl runs before appending. One
+    // shuffle co-partitioned on the md5 key; at 100 TB the index side
+    // would first pass through a bloom filter, with this anti-join as
+    // the exact confirm.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), md5(col("text")).as("h"))
+      val indexed = hashed.where(col("doc_id") % 3 =!= 0).select("h")
+      val fresh = hashed.where(col("doc_id") % 3 === 0)
+      fresh.join(indexed, Seq("h"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // ---- rolling per-user window statistics ------------------------------
+    // Trailing 7-event mean/min/max/stddev of the event value per user in
+    // (ts, event_id) order — the moving-aggregate anomaly-detection
+    // primitive. The mean is an exact decimal sum over the frame divided
+    // once; stddev is r4 (both engines accumulate the same 7 doubles).
+    "win_moving_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType => DT, DoubleType}
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-6, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          (sum(col("value").cast(DT(18, 4))).over(w).cast(DoubleType) /
+            count(lit(1)).over(w)).as("mavg7"),
+          min("value").over(w).as("mmin7"),
+          max("value").over(w).as("mmax7"),
+          round(stddev_samp(col("value")).over(w), 4).as("msd7"))
+        .orderBy("event_id")
+    }),
+
     // ---- argmin / argmax aggregates -------------------------------------
     // Richest and poorest customer per market segment. The argmax key
     // packs (balance, custkey) into one bigint — balances are 2-decimal
@@ -154,6 +191,26 @@ object DepthQueries {
         |  CAST(timezone('America/New_York', o_orderdate) AS TIMESTAMP) AS utc_of_ny,
         |  CAST(timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ) AS DATE) AS tokyo_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "llm_dedup_incremental" ->
+      """WITH hashed AS (SELECT doc_id, lang, md5(text) AS h FROM documents),
+        |indexed AS (SELECT h FROM hashed WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT * FROM hashed WHERE doc_id % 3 = 0)
+        |SELECT doc_id, lang FROM fresh
+        |WHERE h NOT IN (SELECT h FROM indexed)
+        |ORDER BY doc_id""".stripMargin,
+
+    "win_moving_stats" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |    / count(*) OVER w AS mavg7,
+        |  min(value) OVER w AS mmin7,
+        |  max(value) OVER w AS mmax7,
+        |  round(stddev_samp(value) OVER w, 4) AS msd7
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "agg_argminmax" ->
       """WITH p AS (SELECT c_mktsegment, c_custkey, c_acctbal,

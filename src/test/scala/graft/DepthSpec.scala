@@ -42,6 +42,21 @@ class DepthSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental dedup: kept docs are new-batch and text-unique vs index") {
+    val kept = SparkEntry.queries("llm_dedup_incremental")(spark, sf0001)
+      .collect().map(_.getLong(0))
+    assert(kept.forall(_ % 3 == 0), "kept docs must be from the new batch")
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "md5(text) h").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val indexHashes = docs.collect { case (id, h) if id % 3 != 0 => h }.toSet
+    val keptSet = kept.toSet
+    for ((id, h) <- docs if id % 3 == 0) {
+      assert(keptSet.contains(id) == !indexHashes.contains(h),
+        s"doc $id kept=${keptSet.contains(id)} but hash-in-index=${indexHashes.contains(h)}")
+    }
+  }
+
   test("tz conversion: Tokyo wall clock is UTC+9 for these timestamps") {
     import java.time.LocalDateTime
     val rows = SparkEntry.queries("fn_datetime_tz")(spark, sf0001)
