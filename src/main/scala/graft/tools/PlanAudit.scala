@@ -17,7 +17,9 @@ object PlanAudit {
     val interesting = Seq(
       "scan_projection", "filter_simple", "join_broadcast", "join_star_5way",
       "topk_global", "agg_groupby_pricing", "llm_simsearch_topk", "llm_dedup_near",
-      "llm_dedup_simhash", "llm_dedup_embcos")
+      "llm_dedup_simhash", "llm_dedup_embcos",
+      "tpch_q3", "tpch_q5", "tpch_q18", "llm_bigram_score", "llm_curate_e2e",
+      "source_partitioned_pruned", "llm_emb_quantize")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

@@ -56,12 +56,53 @@ object ScaleDryRun {
       graft.operators.ScaleQueries.minhashLshPairs(spark, d).count()
     }
 
-    q1(1); join3(1); dedupShape(1) // JIT warm-up
+    // sequence packing at k× the corpus: the per-lang running-sum window
+    // must stay linear (its state is one scalar per partition)
+    def packShape(k: Int): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i))
+        .reduce(_ unionAll _)
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .select((col("cum") / 2048).cast("long").as("chunk"))
+        .groupBy("chunk").count().count()
+    }
+
+    // bigram-LM scoring at k× the corpus: occurrences grow linearly,
+    // the model (distinct bigrams) sub-linearly; replica suffixes keep
+    // the vocabulary from collapsing into one shared model
+    def bigramShape(k: Int): Long = {
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i)
+        .withColumn("text", concat(col("text"), lit(s" replica$i"))))
+        .reduce(_ unionAll _)
+      val occ = d.select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("tok"))
+        .where(size(col("tok")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tok) - 1), i -> named_struct(" +
+            "'w1', element_at(tok, i), " +
+            "'bg', concat(element_at(tok, i), ' ', element_at(tok, i + 1))))"))
+          .as("x"))
+        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+      val bgc = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val ugc = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
+      occ.join(bgc, "bg").join(ugc, "w1")
+        .groupBy("doc_id").agg(count(lit(1))).count()
+    }
+
+    q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
       val t3 = time(dedupShape(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s")
+      val t4 = time(packShape(k))
+      val t5 = time(bigramShape(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s")
     }
     spark.stop()
   }
