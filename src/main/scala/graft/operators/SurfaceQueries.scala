@@ -98,6 +98,18 @@ object SurfaceQueries {
         .orderBy("o_orderkey")
     }),
 
+    // ---- ORC source round trip ------------------------------------------
+    "source_orc_roundtrip" -> ((s, dir) => {
+      val out = scratch("orc", dir)
+      Tables.nation(s, dir)
+        .join(Tables.region(s, dir),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name", "r_name")
+        .coalesce(1)
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("n_nationkey")
+    }),
+
     // ---- bucketed co-located fact-fact join -----------------------------
     // Both fact tables are written bucketed+sorted on the join key (8
     // buckets) and re-read through the catalog: the sort-merge join then
@@ -170,6 +182,11 @@ object SurfaceQueries {
     "source_json_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "source_orc_roundtrip" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY n_nationkey""".stripMargin,
 
     // the oracle joins the canonical parquet directly — equality proves
     // the bucketed write+read layout preserved every row

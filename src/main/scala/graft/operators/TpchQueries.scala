@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, functions}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
-import graft.QueryUtils._
+import graft.QueryUtils.QFn
 import graft.sources.Tables
 
 /** Headline composed-analytics queries — the classic TPC-H decision-
@@ -23,10 +25,17 @@ import graft.sources.Tables
   *    partition-pruning key.
   *  - the top-k tails are TakeOrderedAndProject (limit pushed into the
   *    sort), never a global sort of the aggregate.
-  *  - money sums go through decimal(18,2) partials (order-free, exact)
-  *    per QueryUtils.decSum.
+  *  - money sums go through decimal(18,4) partials: price and discount
+  *    each carry two decimal digits, so their product has exactly four
+  *    and the (18,4) cast never rounds — immune to the HALF_UP (Spark)
+  *    vs half-even (DuckDB) divergence a (18,2) cast hits on exact
+  *    halves (measured: tpch_q6 off by 0.02 with (18,2)).
   */
 object TpchQueries {
+
+  /** Order-free exact sum of a 4-decimal money product, as double. */
+  private def decSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
 
   private def ts(d: String) = lit(d + " 00:00:00").cast("timestamp")
 
@@ -106,6 +115,68 @@ object TpchQueries {
         .limit(20)
     }),
 
+    // ---- Q6: forecasting revenue change ---------------------------------
+    // The pure scan-filter-sum: every predicate (date range, discount
+    // band, quantity cap) sits on a scan column and reaches the parquet
+    // reader as a PushedFilter; no shuffle at all before the single
+    // global sum.
+    "tpch_q6" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(decSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- Q14: promotion effect ------------------------------------------
+    // Share of a month's revenue coming from PROMO parts — conditional
+    // aggregation over one fact-dim join. The two decimal sums divide
+    // once in double; nothing order-dependent survives.
+    "tpch_q14" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= ts("1996-09-01") &&
+          col("l_shipdate") < ts("1996-10-01"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = Tables.part(s, dir).select("p_partkey", "p_type")
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .agg(
+          decSum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .otherwise(lit(0.0))).as("promo_revenue"),
+          decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("total_revenue"))
+        .select(
+          round(col("promo_revenue") * 100.0 / col("total_revenue"), 4)
+            .as("promo_pct"),
+          col("promo_revenue"), col("total_revenue"))
+    }),
+
+    // ---- Q19: discounted revenue, disjunctive predicates ----------------
+    // OR-of-ANDs over (brand, size, quantity) bands — the shape that
+    // tests disjunction handling: the per-band conjuncts can't all push
+    // to the scan, but the join stays a single equi-join with the
+    // residual disjunction evaluated post-match, and the common
+    // quantity/size bounds DO push down.
+    "tpch_q19" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      val part = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+      val bands =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      li.join(part, li("l_partkey") === part("p_partkey"))
+        .where(bands)
+        .agg(decSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // ---- Q18: large-volume customers ------------------------------------
     // Orders whose total quantity exceeds 300, with the customer and the
     // order's quantity sum; top 100 by price. Quantities are integer-
@@ -132,7 +203,7 @@ object TpchQueries {
 
     "tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -145,7 +216,7 @@ object TpchQueries {
 
     "tpch_q5" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -160,7 +231,7 @@ object TpchQueries {
 
     "tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -171,6 +242,44 @@ object TpchQueries {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey ASC
         |LIMIT 20""".stripMargin,
+
+    "tpch_q6" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q14" ->
+      """WITH j AS (SELECT p_type, l_extendedprice, l_discount
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01'),
+        |s AS (SELECT
+        |    CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+        |    CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |  FROM j)
+        |SELECT round(promo_revenue * 100.0 / total_revenue, 4) AS promo_pct,
+        |  promo_revenue, total_revenue
+        |FROM s""".stripMargin,
+
+    "tpch_q19" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "tpch_q18" ->
       """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS sum_qty
