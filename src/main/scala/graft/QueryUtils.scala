@@ -28,4 +28,21 @@ object QueryUtils {
 
   /** round to 4 for inherently order-dependent float aggregates. */
   def r4(c: Column): Column = round(c, 4)
+
+  /** md5-derived 60-bit non-negative int of a key column — THE shared
+    * deterministic-hash idiom (sampling, sharding, splits). Engine-
+    * portable: DuckDB computes the same via
+    * `('0x'||substr(md5(x),1,15))::BIGINT`. One definition on purpose:
+    * llm_sample_hash / llm_shard_assign / llm_split_train /
+    * llm_curate_e2e must stay bit-identical to each other — a drifted
+    * copy would silently desynchronize split assignment across
+    * operators while each still matches its own oracle. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Whitespace token count of the `text` column, empty tokens dropped
+    * (matches the DuckDB `len(list_filter(string_split(text,' '),
+    * x -> x <> ''))` oracle idiom). */
+  def nTok: Column =
+    size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
 }

@@ -67,9 +67,13 @@ object CorpusStatsQueries {
             .cast("long").as("n_tok"))
       val strata = perDoc.groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      val totals = strata.agg(sum("n_docs").as("tot_docs"),
-        sum("n_tokens").as("tot_tokens"))
-      strata.crossJoin(totals)
+      // corpus totals as windows over the catalog-sized aggregate — NOT
+      // agg + crossJoin, which would re-execute the scan + tokenization
+      // subtree a second time (no common-subplan sharing in Spark)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      strata
+        .withColumn("tot_docs", sum("n_docs").over(w))
+        .withColumn("tot_tokens", sum("n_tokens").over(w))
         .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
           round(col("n_docs").cast("double") / col("tot_docs"), 6)
             .as("doc_share"),

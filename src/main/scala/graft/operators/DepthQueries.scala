@@ -28,11 +28,13 @@ import graft.sources.Tables
   */
 object DepthQueries {
 
-  /** Per-sfdir scratch dir for the partitioned write (overwritten per run). */
-  private def scratch(kind: String, dir: String): String = {
-    val sf = dir.replaceAll(".*/", "")
-    s"/tmp/graft_scratch/depth_${kind}_$sf"
-  }
+  /** Per-sfdir scratch dir for the partitioned write (overwritten per
+    * run). Same scheme as SurfaceQueries: java.io.tmpdir + the FULL
+    * sanitized sf path, so distinct corpora that share a basename can
+    * never clobber each other's scratch. */
+  private def scratch(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_depth_${kind}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   val queries: Map[String, QFn] = Map(
 
@@ -141,11 +143,14 @@ object DepthQueries {
     // ---- argmin / argmax aggregates -------------------------------------
     // Richest and poorest customer per market segment. The argmax key
     // packs (balance, custkey) into one bigint — balances are 2-decimal
-    // money, so round(bal*100)*10^7 + custkey is a total order and the
-    // tie on equal balances breaks deterministically on the key (the
-    // plain max_by(x, bal) would be free to pick either duplicate).
+    // money in [-999.99, 9999.99] (20 bits scaled), so
+    // round(bal*100)*2^40 + custkey is a total order for any custkey
+    // below 2^40 (~1.1e12, comfortably past 100 TB-scale key ranges;
+    // max |pk| ~ 1e6*2^40 ≈ 1.1e18 < Long.Max) and the tie on equal
+    // balances breaks deterministically on the key (the plain
+    // max_by(x, bal) would be free to pick either duplicate).
     "agg_argminmax" -> ((s, dir) => {
-      val packed = (round(col("c_acctbal") * 100) * 10000000L +
+      val packed = (round(col("c_acctbal") * 100) * (1L << 40) +
         col("c_custkey")).cast("long")
       Tables.customer(s, dir)
         .withColumn("pk", packed)
@@ -185,11 +190,17 @@ object DepthQueries {
         |FROM documents WHERE lang IN ('en', 'fr')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    // tz-independent oracle: the inner timezone('UTC', ts) anchors the
+    // naive timestamp as a UTC instant and the outer timezone(tz, tstz)
+    // renders a naive wall clock — neither consults DuckDB's session
+    // TimeZone, so the oracle is correct on any host (a bare
+    // ts::TIMESTAMPTZ cast would resolve via the session zone and
+    // silently break off-UTC)
     "fn_datetime_tz" ->
       """SELECT o_orderkey,
-        |  timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ) AS tokyo_wall,
-        |  CAST(timezone('America/New_York', o_orderdate) AS TIMESTAMP) AS utc_of_ny,
-        |  CAST(timezone('Asia/Tokyo', o_orderdate::TIMESTAMPTZ) AS DATE) AS tokyo_date
+        |  timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS tokyo_wall,
+        |  timezone('UTC', timezone('America/New_York', o_orderdate)) AS utc_of_ny,
+        |  CAST(timezone('Asia/Tokyo', timezone('UTC', o_orderdate)) AS DATE) AS tokyo_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "llm_dedup_incremental" ->
@@ -214,7 +225,7 @@ object DepthQueries {
 
     "agg_argminmax" ->
       """WITH p AS (SELECT c_mktsegment, c_custkey, c_acctbal,
-        |    CAST(round(c_acctbal * 100) * 10000000 + c_custkey AS BIGINT) AS pk
+        |    CAST(round(c_acctbal * 100) * 1099511627776 + c_custkey AS BIGINT) AS pk
         |  FROM customer)
         |SELECT c_mktsegment,
         |  max_by(c_custkey, pk) AS richest_custkey, max(c_acctbal) AS max_bal,

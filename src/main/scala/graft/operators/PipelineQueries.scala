@@ -32,11 +32,6 @@ object PipelineQueries {
 
   import graft.functions.TextShingles.{mkCharGrams, verifyJaccard}
 
-  /** md5-derived 60-bit non-negative int of a key column (engine-portable:
-    * DuckDB `('0x'||substr(md5(x),1,15))::BIGINT` computes the same). */
-  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
-
   val queries: Map[String, QFn] = Map(
     // ---- deterministic 10% hash sample ---------------------------------
     "llm_sample_hash" -> ((s, dir) => {

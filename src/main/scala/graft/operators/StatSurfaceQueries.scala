@@ -24,12 +24,6 @@ import graft.sources.Tables
   */
 object StatSurfaceQueries {
 
-  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
-
-  private val nTok =
-    size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
-
   val queries: Map[String, QFn] = Map(
 
     // ---- linear-regression aggregates -----------------------------------

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, functions}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 

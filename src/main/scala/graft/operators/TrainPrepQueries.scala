@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.QueryUtils.QFn
+import graft.QueryUtils.{QFn, hash60, nTok}
 import graft.sources.Tables
 
 /** Training-run preparation operators (round 2, batch 4): sequence
@@ -32,14 +32,6 @@ import graft.sources.Tables
   *    is independent of partitioning and matches DuckDB bit-for-bit.
   */
 object TrainPrepQueries {
-
-  /** md5-derived 60-bit non-negative int (same idiom as PipelineQueries;
-    * DuckDB: `('0x'||substr(md5(x),1,15))::BIGINT`). */
-  private def hash60(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
-
-  private val nTok =
-    size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
 
   val queries: Map[String, QFn] = Map(
 
@@ -71,14 +63,19 @@ object TrainPrepQueries {
     // corpus) that decides whether the sharding key needs salting
     // before the 100 TB write.
     "llm_shard_assign" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
       val perShard = Tables.documents(s, dir)
         .select((hash60(col("doc_id").cast("string")) % 16).as("shard"),
           nTok.as("n_tok"), col("n_chars"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
           sum("n_chars").as("n_chars"))
-      val totals = perShard.agg(sum("n_docs").as("tot_docs"))
-      perShard.crossJoin(totals)
+      // corpus total as a window over the 16-row aggregate — NOT
+      // agg + crossJoin, which would re-execute the whole scan +
+      // tokenization subtree a second time (Spark shares no common
+      // subplans across the two sides)
+      perShard
+        .withColumn("tot_docs", sum("n_docs").over(Window.partitionBy()))
         .select(col("shard"), col("n_docs"), col("n_tokens"), col("n_chars"),
           round(col("n_docs").cast("double") / col("tot_docs"), 6)
             .as("doc_share"))

@@ -61,10 +61,17 @@ class DepthSpec extends AnyFunSuite {
     import java.time.LocalDateTime
     val rows = SparkEntry.queries("fn_datetime_tz")(spark, sf0001)
       .limit(50).collect()
+    assert(rows.nonEmpty)
+    // fetch exactly the keys the query returned, so every collected row
+    // is asserted (an unordered limit on the orders side could pick a
+    // disjoint subset and silently assert nothing)
+    val keys = rows.map(_.getLong(0))
     val ord = graft.sources.Tables.orders(spark, sf0001)
-      .select("o_orderkey", "o_orderdate").limit(50).collect()
+      .where(org.apache.spark.sql.functions.col("o_orderkey").isin(keys.map(Long.box): _*))
+      .select("o_orderkey", "o_orderdate").collect()
       .map(r => r.getLong(0) -> r.getAs[LocalDateTime](1)).toMap
-    for (r <- rows if ord.contains(r.getLong(0))) {
+    assert(ord.size == rows.length)
+    for (r <- rows) {
       // tokyo_wall is a plain TIMESTAMP (session tz = UTC), so reading
       // its instant as UTC wall clock yields the Tokyo local time
       val wall = r.getAs[java.sql.Timestamp](1).toInstant
