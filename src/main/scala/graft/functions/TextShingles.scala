@@ -142,12 +142,65 @@ object CharGramArray {
   }
 }
 
+/** Ordered token bigrams ("w1 w2" strings, duplicates KEPT, document
+  * order preserved) of a text column — the n-gram generator for the
+  * bigram-LM scorer. Unlike ShingleArray this is not a set: LM counts
+  * need every occurrence. Tokenization matches the scorer's oracle:
+  * split on single spaces, empty tokens dropped. The left token of a
+  * bigram is recoverable as substring_index(bg, ' ', 1) since tokens
+  * cannot contain spaces.
+  *
+  * Why an Expression: same reason as ShingleArray — the
+  * transform(sequence(...)) higher-order builtin interprets its lambda
+  * per element; this compiles to one tight loop per row.
+  */
+case class BigramArray(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"BigramArray requires a string input, got $other")
+    }
+
+  override def nullSafeEval(t: Any): Any =
+    BigramArray.bigrams(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BigramArray.bigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramArray =
+    copy(child = newChild)
+}
+
+object BigramArray {
+  /** Compiled kernel shared by interpreted eval and generated code. */
+  def bigrams(text: UTF8String): ArrayData = {
+    val toks = text.toString.split(' ').filter(_.nonEmpty)
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var i = 0
+    while (i < toks.length - 1) {
+      out(i) = UTF8String.fromString(toks(i) + " " + toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextShingles {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** Column wrapper: sorted distinct 3-token shingles of a text column. */
   def mkShingles(c: Column): Column =
     ColumnBridge.column(ShingleArray(ColumnBridge.expr(c)))
+
+  /** Column wrapper: ordered token bigrams of a text column. */
+  def mkBigrams(c: Column): Column =
+    ColumnBridge.column(BigramArray(ColumnBridge.expr(c)))
 
   /** Column wrapper: sorted distinct character 20-grams of a text column. */
   def mkCharGrams(c: Column): Column =

@@ -45,17 +45,18 @@ object DepthQueries {
     // word salad goes strongly negative. Per-bigram terms are rounded
     // to 6 places then summed as decimal(18,6), so the per-doc sum is
     // exact and order-free on both engines.
+    // Bigram generation is the codegen'd BigramArray kernel (one tight
+    // loop per row, order + duplicates preserved); the left context w1
+    // is recovered from the bigram string itself (tokens cannot contain
+    // the split character), saving a struct explode. explode_outer: no
+    // inferred size(...) > 0 generator filter for the optimizer to push
+    // below the projection (same move as the shingle call sites).
     "llm_bigram_score" -> ((s, dir) => {
+      import graft.functions.TextShingles.mkBigrams
       val occ = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("tok"))
-        .where(size(col("tok")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tok) - 1), i -> named_struct(" +
-            "'w1', element_at(tok, i), " +
-            "'bg', concat(element_at(tok, i), ' ', element_at(tok, i + 1))))"))
-          .as("x"))
-        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+        .select(col("doc_id"), explode_outer(mkBigrams(col("text"))).as("bg"))
+        .where(col("bg").isNotNull)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
       val bgc = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
       val ugc = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
       occ.join(bgc, "bg").join(ugc, "w1")

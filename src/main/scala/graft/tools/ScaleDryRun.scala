@@ -81,14 +81,9 @@ object ScaleDryRun {
         .withColumn("text", concat(col("text"), lit(s" replica$i"))))
         .reduce(_ unionAll _)
       val occ = d.select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("tok"))
-        .where(size(col("tok")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(tok) - 1), i -> named_struct(" +
-            "'w1', element_at(tok, i), " +
-            "'bg', concat(element_at(tok, i), ' ', element_at(tok, i + 1))))"))
-          .as("x"))
-        .select(col("doc_id"), col("x.w1").as("w1"), col("x.bg").as("bg"))
+          explode_outer(graft.functions.TextShingles.mkBigrams(col("text"))).as("bg"))
+        .where(col("bg").isNotNull)
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
       val bgc = occ.groupBy("bg").agg(count(lit(1)).as("c2"))
       val ugc = occ.groupBy("w1").agg(count(lit(1)).as("c1"))
       occ.join(bgc, "bg").join(ugc, "w1")

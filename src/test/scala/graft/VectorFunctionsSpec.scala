@@ -46,6 +46,22 @@ class VectorFunctionsSpec extends AnyFunSuite {
     })
   }
 
+  test("BigramArray: ordered, duplicate-keeping, empty-token-free bigrams") {
+    import graft.functions.TextShingles.mkBigrams
+    val df = Seq(
+      "a b c a b",      // duplicate bigram "a b" must appear twice
+      "  a   b  ",      // empty tokens from repeated spaces are dropped
+      "solo",           // < 2 tokens -> empty array
+      ""                // empty text -> empty array
+    ).toDF("text").select(mkBigrams(col("text")).as("bg"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b", "b c", "c a", "a b"))
+    assert(rows(1) == Seq("a b"))
+    assert(rows(2).isEmpty && rows(3).isEmpty)
+    // w1 recovery contract used by llm_bigram_score
+    assert(rows(0).map(_.split(' ').head) == Seq("a", "b", "c", "a"))
+  }
+
   test("join row-count algebra invariants at sf0.001 (property-style)") {
     val o = graft.sources.Tables.orders(spark, sf0001)
     val c = graft.sources.Tables.customer(spark, sf0001)
