@@ -26,7 +26,8 @@ object SparkEntry {
       Round2Queries.queries ++ PipelineQueries.queries ++ SurfaceQueries.queries ++
       CurationQueries.queries ++ CorpusStatsQueries.queries ++
       TrainPrepQueries.queries ++ TpchQueries.queries ++
-      StatSurfaceQueries.queries ++ DepthQueries.queries
+      StatSurfaceQueries.queries ++ DepthQueries.queries ++
+      CorpusHealthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
       Round2Queries.oracles ++ PipelineQueries.oracles ++ SurfaceQueries.oracles ++
       CurationQueries.oracles ++ CorpusStatsQueries.oracles ++
       TrainPrepQueries.oracles ++ TpchQueries.oracles ++
-      StatSurfaceQueries.oracles ++ DepthQueries.oracles
+      StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
+      CorpusHealthQueries.oracles
 }

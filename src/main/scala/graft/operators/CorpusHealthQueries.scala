@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.QueryUtils._
+import graft.sources.Tables
+
+/** Corpus-health batch (round 2, batch 8): label-outlier detection over
+  * embeddings (the mislabeled-sample sweep every labeled dataset needs)
+  * and a Zipf-law fit per language (the token-distribution sanity check
+  * for synthetic or corrupted corpora).
+  *
+  * Scale notes (100 TB):
+  *  - `llm_label_outliers` is long-form relational algebra: one
+  *    bounded aggregation to the per-(label, pos) centroid (label
+  *    cardinality × dim rows — catalog-sized, AQE broadcasts it), one
+  *    join back to the exploded vectors co-partitioned on (label, pos),
+  *    one per-vector reduction, one bounded top-k window per label.
+  *    Nothing grows faster than the corpus.
+  *  - `llm_zipf_slope` is tf-idf's shuffle shape (corpus-linear
+  *    (lang, token) counts) plus a per-lang rank window and one
+  *    regression aggregate per language.
+  *
+  * Determinism: every floating sum that crosses a shuffle is
+  * rounded-then-decimal-summed (order-free, engine-exact); the final
+  * cosine/slope round to 4.
+  */
+object CorpusHealthQueries {
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- per-label embedding outliers (mislabel candidates) -------------
+    // For each label: the 3 vectors with the LOWEST cosine to their own
+    // label centroid. Centroid means and all dot/norm reductions use
+    // rounded decimal partials so no summation order (Spark partitioning
+    // or DuckDB's) can move a bit.
+    "llm_label_outliers" -> ((s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          col("x").cast("double").as("x"))
+      val cent = ex.groupBy("label", "pos")
+        .agg((sum(round(col("x"), 9).cast(DecimalType(18, 9)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+      val joined = ex.join(cent, Seq("label", "pos"))
+      val per = joined.groupBy("vec_id", "label")
+        .agg(
+          sum(round(col("x") * col("m"), 12).cast(DecimalType(18, 12)))
+            .cast(DoubleType).as("dot"),
+          sum(round(col("x") * col("x"), 12).cast(DecimalType(18, 12)))
+            .cast(DoubleType).as("xx"),
+          sum(round(col("m") * col("m"), 12).cast(DecimalType(18, 12)))
+            .cast(DoubleType).as("mm"))
+        .where(col("xx") > 0 && col("mm") > 0)
+        .select(col("vec_id"), col("label"),
+          r4(col("dot") / (sqrt(col("xx")) * sqrt(col("mm")))).as("cos_cent"))
+      val w = Window.partitionBy("label")
+        .orderBy(col("cos_cent").asc, col("vec_id").asc)
+      per.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select("label", "rk", "vec_id", "cos_cent")
+        .orderBy("label", "rk")
+    }),
+
+    // ---- Zipf-law slope per language ------------------------------------
+    // Fit log2(count) ~ log2(rank) over the token frequency table of
+    // each language; natural text lands near slope -1, templated or
+    // synthetic text deviates hard. Rank ties break on the token so the
+    // regression inputs are identical on both engines.
+    "llm_zipf_slope" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("c").desc, col("tok").asc)
+      tf.withColumn("rank", row_number().over(w))
+        .groupBy("lang")
+        .agg(
+          r4(regr_slope(log2(col("c")), log2(col("rank")))).as("zipf_slope"),
+          r4(regr_r2(log2(col("c")), log2(col("rank")))).as("fit_r2"),
+          count(lit(1)).as("n_types"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "llm_label_outliers" ->
+      """WITH ex AS (SELECT vec_id, label, x.i AS pos, CAST(x.v AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, label,
+        |          unnest(list_transform(generate_series(1, len(embedding)),
+        |            i -> struct_pack(i := i - 1, v := embedding[i]))) AS x
+        |        FROM embeddings)),
+        |cent AS (SELECT label, pos,
+        |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+        |  FROM ex GROUP BY label, pos),
+        |per AS (SELECT vec_id, ex.label AS label,
+        |    CAST(sum(CAST(round(x * m, 12) AS DECIMAL(18,12))) AS DOUBLE) AS dot,
+        |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(18,12))) AS DOUBLE) AS xx,
+        |    CAST(sum(CAST(round(m * m, 12) AS DECIMAL(18,12))) AS DOUBLE) AS mm
+        |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
+        |  GROUP BY vec_id, ex.label),
+        |scored AS (SELECT vec_id, label,
+        |    round(dot / (sqrt(xx) * sqrt(mm)), 4) AS cos_cent
+        |  FROM per WHERE xx > 0 AND mm > 0),
+        |ranked AS (SELECT label, vec_id, cos_cent,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY cos_cent ASC, vec_id ASC) AS rk
+        |  FROM scored)
+        |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, cos_cent
+        |FROM ranked WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
+
+    "llm_zipf_slope" ->
+      """WITH tf AS (SELECT lang,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM tf GROUP BY lang, tok),
+        |r AS (SELECT lang, c,
+        |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rank
+        |  FROM c)
+        |SELECT lang,
+        |  round(regr_slope(log2(c), log2(rank)), 4) AS zipf_slope,
+        |  round(regr_r2(log2(c), log2(rank)), 4) AS fit_r2,
+        |  CAST(count(*) AS BIGINT) AS n_types
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}

@@ -35,7 +35,8 @@ class QueriesSpec extends AnyFunSuite {
       Round2Queries.queries, PipelineQueries.queries, SurfaceQueries.queries,
       CurationQueries.queries, CorpusStatsQueries.queries,
       TrainPrepQueries.queries, TpchQueries.queries,
-      StatSurfaceQueries.queries, DepthQueries.queries)
+      StatSurfaceQueries.queries, DepthQueries.queries,
+      CorpusHealthQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
