@@ -168,6 +168,31 @@ object AggQueries {
         .groupBy((floor(col("value") / 50) * 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    }),
+
+    // weighted median price per returnflag, weight = quantity (integer-
+    // valued): the smallest price whose cumulative weight reaches half
+    // the group total. Pure integer window arithmetic over a total
+    // (price, orderkey, linenumber) order — no float boundary anywhere;
+    // one window + one bounded aggregation.
+    "agg_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_quantity").cast("long").as("w"),
+          col("l_orderkey"), col("l_linenumber"))
+      val wcum = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("l_returnflag")
+      li.withColumn("cumw", sum("w").over(wcum))
+        .withColumn("totw", sum("w").over(wtot))
+        .where(col("cumw") * 2 >= col("totw"))
+        .groupBy("l_returnflag")
+        .agg(min("l_extendedprice").as("weighted_median"),
+          max("totw").as("total_weight"))
+        .orderBy("l_returnflag")
     })
   )
 
@@ -273,6 +298,18 @@ object AggQueries {
 
     "agg_histogram" ->
       """SELECT CAST(floor(value / 50) * 50 AS BIGINT) AS bucket, count(*) AS n
-        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "agg_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM lineitem)
+        |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
+        |  max(totw) AS total_weight
+        |FROM c WHERE cumw * 2 >= totw
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

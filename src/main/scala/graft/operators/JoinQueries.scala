@@ -142,6 +142,25 @@ object JoinQueries {
           col("best.o_orderkey").as("asof_orderkey"),
           col("best.o_orderdate").as("asof_orderdate"))
         .orderBy("event_id")
+    }),
+
+    // forward as-of: the FIRST order at-or-after each event (the "next
+    // action" join of attribution pipelines) — min_by mirror of
+    // join_asof, same single-shuffle candidates + one aggregation shape
+    "join_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").as("event_ts"))
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      e.join(o, e("user_id") === o("o_custkey") && o("o_orderdate") >= e("event_ts"))
+        .groupBy("event_id", "user_id")
+        .agg(min_by(
+          struct(col("o_orderkey"), col("o_orderdate")),
+          struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+        .select(col("event_id"), col("user_id"),
+          col("best.o_orderkey").as("next_orderkey"),
+          col("best.o_orderdate").as("next_orderdate"))
+        .orderBy("event_id")
     })
   )
 
@@ -224,6 +243,17 @@ object JoinQueries {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e JOIN orders o
         |    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT event_id, user_id, o_orderkey AS next_orderkey, o_orderdate AS next_orderdate
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON e.user_id = o.o_custkey AND o.o_orderdate >= e.ts)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin
   )

@@ -30,7 +30,7 @@ import graft.sources.Tables
   */
 object PipelineQueries {
 
-  import graft.functions.TextShingles.{mkCharGrams, verifyJaccard}
+  import graft.functions.TextShingles.{mkCharGrams, mkShingles, verifyJaccard}
 
   val queries: Map[String, QFn] = Map(
     // ---- deterministic 10% hash sample ---------------------------------
@@ -121,6 +121,50 @@ object PipelineQueries {
       verifyJaccard(cand, sh, tenths = 7)
     }),
 
+    // ---- containment (asymmetric Jaccard) dedup --------------------------
+    // Directed pairs where ≥ 90% of A's shingles appear in B —
+    // C(A,B) = |A∩B| / |A|. Symmetric-Jaccard dedup MISSES truncation
+    // duplicates (a doc that is a prefix/excerpt of a longer one scores
+    // low J but C ≈ 1); this operator is the excerpt sweep. Candidates:
+    // A explodes only its rare-first prefix of n_a − ⌈0.9·n_a⌉ + 1
+    // shingles (lossless: if C ≥ 0.9, fewer than an A-prefix's worth of
+    // A-shingles are missing from B, so B shares at least one prefix
+    // shingle); B explodes all shingles. Verification is the shared
+    // merge-pass SortedIntersectCount with the integer-exact threshold
+    // 10·|∩| ≥ 9·|A|. One df window pass; plain doc-id joins re-attach
+    // the arrays (no pinned broadcast — same posture as verifyJaccard).
+    "llm_dedup_contain" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("n", size(col("sh")))
+        .localCheckpoint(true)
+      val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
+        .where(col("s").isNotNull)
+      val wdf = Window.partitionBy("s")
+      val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+      val withDf = ex.withColumn("df", count(lit(1)).over(wdf))
+        .withColumn("rk", row_number().over(w))
+        .localCheckpoint(true)
+      val pa = withDf
+        .where(col("rk") <= col("n") - ceil(col("n") * lit(0.9)).cast("int") + 1)
+        .select(col("doc_id").as("a_id"), col("s"))
+      val pb = withDf.select(col("doc_id").as("b_id"), col("s"))
+      val cand = pa.join(pb, "s")
+        .where(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
+      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+      cand.join(sa, "a_id").join(sb, "b_id")
+        .select(col("a_id"), col("b_id"), col("na"),
+          graft.functions.VectorFunctions
+            .sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"))
+        .where(coalesce(col("inter") * 10 >= col("na") * 9, lit(false)))
+        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+          (col("inter").cast("double") / col("na")).as("containment"))
+        .repartition(1).sortWithinPartitions("contained_id", "container_id")
+    }),
+
     // ---- explicitly salted skew-safe join -------------------------------
     // lineitem ⋈ supplier with the build side replicated over 8 salts and
     // the probe side salted by pmod(l_orderkey, 8): a hot supplier key
@@ -175,6 +219,17 @@ object PipelineQueries {
         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         |FROM p WHERE inter * 10 >= (na + nb - inter) * 7
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "llm_dedup_contain" ->
+      (graft.functions.TextShingles.duckShingleCte +
+        """,
+          |p AS (SELECT a.doc_id a_id, b.doc_id b_id,
+          |        len(list_intersect(a.sh, b.sh)) inter, len(a.sh) na
+          |      FROM s a JOIN s b ON a.doc_id <> b.doc_id)
+          |SELECT a_id AS contained_id, b_id AS container_id,
+          |  CAST(inter AS DOUBLE) / na AS containment
+          |FROM p WHERE inter * 10 >= na * 9
+          |ORDER BY contained_id, container_id""".stripMargin),
 
     "join_skew_salted" ->
       """SELECT s_nationkey,
