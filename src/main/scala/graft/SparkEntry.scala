@@ -27,7 +27,7 @@ object SparkEntry {
       CurationQueries.queries ++ CorpusStatsQueries.queries ++
       TrainPrepQueries.queries ++ TpchQueries.queries ++
       StatSurfaceQueries.queries ++ DepthQueries.queries ++
-      CorpusHealthQueries.queries
+      CorpusHealthQueries.queries ++ BehaviorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +40,5 @@ object SparkEntry {
       CurationQueries.oracles ++ CorpusStatsQueries.oracles ++
       TrainPrepQueries.oracles ++ TpchQueries.oracles ++
       StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
-      CorpusHealthQueries.oracles
+      CorpusHealthQueries.oracles ++ BehaviorQueries.oracles
 }

@@ -36,7 +36,7 @@ class QueriesSpec extends AnyFunSuite {
       CurationQueries.queries, CorpusStatsQueries.queries,
       TrainPrepQueries.queries, TpchQueries.queries,
       StatSurfaceQueries.queries, DepthQueries.queries,
-      CorpusHealthQueries.queries)
+      CorpusHealthQueries.queries, BehaviorQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
