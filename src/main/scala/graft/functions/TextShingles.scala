@@ -248,6 +248,25 @@ object TextShingles {
       .repartition(1).sortWithinPartitions("doc_a", "doc_b")
   }
 
+  /** Containment sibling of verifyJaccard: keeps DIRECTED candidate
+    * pairs with C(A,B) = |A∩B| / |A| >= tenths/10 (integer-exact
+    * `10·|∩| >= tenths·|A|`). Same re-attach posture (plain doc-id
+    * joins, no pinned broadcast) and the same null-TOLERANT coalesce
+    * threshold — without it the optimizer infers isnotnull constraints
+    * on inter/na, pushes them below the doc-id joins, and re-evaluates
+    * the shingle kernel inside the sa/sb scan filters. */
+  def verifyContainment(cand: DataFrame, sh: DataFrame, tenths: Int): DataFrame = {
+    val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .select(col("a_id"), col("b_id"), col("na"),
+        sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"))
+      .where(coalesce(col("inter") * 10 >= col("na") * tenths, lit(false)))
+      .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .repartition(1).sortWithinPartitions("contained_id", "container_id")
+  }
+
   /** DuckDB CTE producing the same per-doc shingle sets (oracle side).
     * Empty tokens are filtered to match ShingleArray's tokenization. */
   val duckShingleCte: String =

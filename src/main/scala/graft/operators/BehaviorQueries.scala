@@ -79,13 +79,19 @@ object BehaviorQueries {
         |GROUP BY cohort_week, weeks_since
         |ORDER BY cohort_week, weeks_since""".stripMargin,
 
+    // ev truncates ts to microseconds: Spark's Tables.events recovers
+    // ts via `div 1000` (floor to us) while DuckDB reads the parquet
+    // natively at ns — comparing at ns would let a click in the same
+    // microsecond as the view (but later by ns) pass on one engine only
     "agg_funnel" ->
-      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+      """WITH ev AS (SELECT user_id, event_type,
+        |    date_trunc('microsecond', ts) AS ts FROM events),
+        |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
         |  WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+        |s2 AS (SELECT e.user_id, min(ts) AS t2 FROM ev e
         |  JOIN s1 ON e.user_id = s1.user_id
         |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
-        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+        |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM ev e
         |  JOIN s2 ON e.user_id = s2.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
         |SELECT

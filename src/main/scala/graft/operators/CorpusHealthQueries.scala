@@ -23,9 +23,12 @@ import graft.sources.Tables
   *    (lang, token) counts) plus a per-lang rank window and one
   *    regression aggregate per language.
   *
-  * Determinism: every floating sum that crosses a shuffle is
-  * rounded-then-decimal-summed (order-free, engine-exact); the final
-  * cosine/slope round to 4.
+  * Determinism: the outlier query's floating sums (centroid means,
+  * dot/norm reductions) are rounded-then-decimal-summed — order-free
+  * and engine-exact. The Zipf regression aggregates accumulate raw
+  * doubles like every other regr_/stddev query in the surface and rely
+  * on the established r4 convention (inherently order-dependent stats
+  * round to 4 on both engines — QueryUtils scaladoc).
   */
 object CorpusHealthQueries {
 
@@ -45,15 +48,22 @@ object CorpusHealthQueries {
       val cent = ex.groupBy("label", "pos")
         .agg((sum(round(col("x"), 9).cast(DecimalType(18, 9)))
           .cast(DoubleType) / count(lit(1))).as("m"))
+      // the centroid self-norm is constant per label: sum it ONCE over
+      // the catalog-sized centroid table and join it back, instead of
+      // re-summing the identical 64 terms for every vector inside the
+      // big (vec_id, label) aggregation (same decimal terms, same
+      // order-free sum — bit-identical, at a fraction of the work)
+      val labelNorm = cent.groupBy("label")
+        .agg(sum(round(col("m") * col("m"), 12).cast(DecimalType(18, 12)))
+          .cast(DoubleType).as("mm"))
       val joined = ex.join(cent, Seq("label", "pos"))
       val per = joined.groupBy("vec_id", "label")
         .agg(
           sum(round(col("x") * col("m"), 12).cast(DecimalType(18, 12)))
             .cast(DoubleType).as("dot"),
           sum(round(col("x") * col("x"), 12).cast(DecimalType(18, 12)))
-            .cast(DoubleType).as("xx"),
-          sum(round(col("m") * col("m"), 12).cast(DecimalType(18, 12)))
-            .cast(DoubleType).as("mm"))
+            .cast(DoubleType).as("xx"))
+        .join(labelNorm, "label")
         .where(col("xx") > 0 && col("mm") > 0)
         .select(col("vec_id"), col("label"),
           r4(col("dot") / (sqrt(col("xx")) * sqrt(col("mm")))).as("cos_cent"))
@@ -98,15 +108,18 @@ object CorpusHealthQueries {
         |cent AS (SELECT label, pos,
         |    CAST(sum(CAST(round(x, 9) AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
         |  FROM ex GROUP BY label, pos),
+        |label_norm AS (SELECT label,
+        |    CAST(sum(CAST(round(m * m, 12) AS DECIMAL(18,12))) AS DOUBLE) AS mm
+        |  FROM cent GROUP BY label),
         |per AS (SELECT vec_id, ex.label AS label,
         |    CAST(sum(CAST(round(x * m, 12) AS DECIMAL(18,12))) AS DOUBLE) AS dot,
-        |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(18,12))) AS DOUBLE) AS xx,
-        |    CAST(sum(CAST(round(m * m, 12) AS DECIMAL(18,12))) AS DOUBLE) AS mm
+        |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(18,12))) AS DOUBLE) AS xx
         |  FROM ex JOIN cent ON ex.label = cent.label AND ex.pos = cent.pos
         |  GROUP BY vec_id, ex.label),
-        |scored AS (SELECT vec_id, label,
+        |scored AS (SELECT vec_id, per.label AS label,
         |    round(dot / (sqrt(xx) * sqrt(mm)), 4) AS cos_cent
-        |  FROM per WHERE xx > 0 AND mm > 0),
+        |  FROM per JOIN label_norm ON per.label = label_norm.label
+        |  WHERE xx > 0 AND mm > 0),
         |ranked AS (SELECT label, vec_id, cos_cent,
         |    row_number() OVER (PARTITION BY label
         |      ORDER BY cos_cent ASC, vec_id ASC) AS rk

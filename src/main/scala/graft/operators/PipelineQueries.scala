@@ -153,16 +153,7 @@ object PipelineQueries {
       val cand = pa.join(pb, "s")
         .where(col("a_id") =!= col("b_id"))
         .select("a_id", "b_id").distinct()
-      val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
-      val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-      cand.join(sa, "a_id").join(sb, "b_id")
-        .select(col("a_id"), col("b_id"), col("na"),
-          graft.functions.VectorFunctions
-            .sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"))
-        .where(coalesce(col("inter") * 10 >= col("na") * 9, lit(false)))
-        .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
-          (col("inter").cast("double") / col("na")).as("containment"))
-        .repartition(1).sortWithinPartitions("contained_id", "container_id")
+      graft.functions.TextShingles.verifyContainment(cand, sh, tenths = 9)
     }),
 
     // ---- explicitly salted skew-safe join -------------------------------
