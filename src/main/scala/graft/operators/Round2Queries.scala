@@ -290,6 +290,22 @@ object Round2Queries {
       require(changed == 0, s"llm_dedup_cluster failed to converge after $iter rounds")
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .repartition(1).sortWithinPartitions("doc_id")
+    }),
+
+    // ---- duplicate-cluster size distribution ----------------------------
+    // The dedup IMPACT report: how many near-dup clusters of each size
+    // exist and how many docs they tie up — the number that decides
+    // whether near-dup removal is worth the compute at this corpus's
+    // duplication rate. Composes the converged cluster labels; both
+    // follow-up aggregations are bounded by cluster count.
+    "llm_cluster_stats" -> ((s, dir) => {
+      val labels = queries("llm_dedup_cluster")(s, dir)
+      labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("sz").as("n_docs"))
+        .select(col("sz").as("cluster_size"), col("n_clusters"), col("n_docs"))
+        .orderBy("cluster_size")
     })
   )
 
@@ -405,6 +421,13 @@ object Round2Queries {
         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "llm_dedup_cluster" -> clusterOracle,
+
+    "llm_cluster_stats" ->
+      s"""SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs
+         |FROM (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |      FROM ($clusterOracle) labels GROUP BY cluster_id)
+         |GROUP BY sz ORDER BY cluster_size""".stripMargin,
 
     "fn_url" ->
       """SELECT doc_id,
