@@ -62,6 +62,28 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(rows(0).map(_.split(' ').head) == Seq("a", "b", "c", "a"))
   }
 
+  test("ShingleArray + SortedIntersectCount agree with a set-reference on supplementary-plane text") {
+    // The shingle kernel sorts in UTF-8 byte order specifically so the
+    // merge pass in SortedIntersectCount (which compares UTF8Strings)
+    // sees a consistent order even for characters outside the BMP,
+    // where JVM String (UTF-16) order disagrees with UTF-8 order.
+    import graft.functions.TextShingles.mkShingles
+    import graft.functions.VectorFunctions.sortedIntersectCount
+    // 𝕒 (U+1D552, supplementary) vs ﬃ (U+FB03, BMP): UTF-16 sorts the
+    // surrogate-paired 𝕒 before ﬃ is FALSE in UTF-8 byte order
+    val a = "x 𝕒 y ﬃ z w"
+    val b = "y ﬃ z w 𝕒 x"
+    def refShingles(t: String): Set[Seq[String]] =
+      t.split(' ').filter(_.nonEmpty).sliding(3).map(_.toSeq).toSet
+    val expected = (refShingles(a) & refShingles(b)).size
+    val row = Seq((a, b)).toDF("ta", "tb")
+      .select(sortedIntersectCount(
+        mkShingles(col("ta")), mkShingles(col("tb"))).as("inter"))
+      .collect()(0)
+    assert(row.getInt(0) == expected,
+      s"merge-pass intersection ${row.getInt(0)} != reference $expected")
+  }
+
   test("join row-count algebra invariants at sf0.001 (property-style)") {
     val o = graft.sources.Tables.orders(spark, sf0001)
     val c = graft.sources.Tables.customer(spark, sf0001)
