@@ -23,7 +23,12 @@ class DeterminismSpec extends AnyFunSuite {
   for (name <- Seq(
       "agg_stats", "agg_percentiles", "agg_collect_sorted", "win_frame_rows",
       "win_frame_range", "llm_simsearch_topk", "llm_knn_join", "llm_multimodal_join",
-      "llm_tfidf_topterms", "udaf_weighted_avg", "llm_dedup_near")) {
+      "llm_tfidf_topterms", "udaf_weighted_avg", "llm_dedup_near",
+      // round-2 float-risky shapes: regression aggs, rounded-decimal
+      // reductions, window stddev, bigram-LM log sums, quantization
+      "agg_regr", "llm_zipf_slope", "llm_label_outliers", "llm_bigram_score",
+      "llm_doc_entropy", "llm_emb_quantize", "win_moving_stats",
+      "agg_weighted_median", "llm_mix_weights")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] =
