@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 
-import graft.QueryUtils.QFn
+import graft.QueryUtils.{QFn, r4}
 import graft.sources.Tables
 
 /** Behavioral analytics over the event stream (round 2, batch 10):
@@ -37,6 +37,31 @@ object BehaviorQueries {
         .groupBy("cohort_week", "weeks_since")
         .agg(count_distinct(col("user_id")).as("n_users"))
         .orderBy("cohort_week", "weeks_since")
+    }),
+
+    // ---- per-user value trend (high-cardinality grouped regression) -----
+    // regr_slope of event value on elapsed HOURS since each user's
+    // first event — the per-entity drift detector. Unlike agg_regr
+    // (catalog-bounded keys) this groups on a key that grows with the
+    // data: the single partial/final aggregation shuffle is the whole
+    // plan, exactly the shape that scales by adding executors. Elapsed
+    // hours (double division of exact integer micros) keeps the x-range
+    // small so the slope is numerically tame; r4 absorbs summation-
+    // order ulps per the stats convention.
+    "agg_regr_per_user" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .withColumn("epoch_us", expr("unix_micros(cast(ts as timestamp))"))
+      val w = Window.partitionBy("user_id")
+      ev.withColumn("t0", min("epoch_us").over(w))
+        .select(col("user_id"), col("value"),
+          ((col("epoch_us") - col("t0")) / 3.6e9).as("h"))
+        .groupBy("user_id")
+        .agg(
+          r4(regr_slope(col("value"), col("h"))).as("slope_per_hour"),
+          regr_count(col("value"), col("h")).as("n"))
+        .where(col("n") >= 3)
+        .orderBy("user_id")
     }),
 
     // ---- ordered funnel conversion --------------------------------------
@@ -78,6 +103,17 @@ object BehaviorQueries {
         |FROM ev JOIN cohort ON ev.user_id = cohort.user_id
         |GROUP BY cohort_week, weeks_since
         |ORDER BY cohort_week, weeks_since""".stripMargin,
+
+    "agg_regr_per_user" ->
+      """WITH ev AS (SELECT user_id, value,
+        |    epoch_us(date_trunc('microsecond', ts)) AS epoch_us FROM events),
+        |t AS (SELECT user_id, value,
+        |    (epoch_us - min(epoch_us) OVER (PARTITION BY user_id)) / 3.6e9 AS h
+        |  FROM ev)
+        |SELECT user_id, round(regr_slope(value, h), 4) AS slope_per_hour,
+        |  CAST(regr_count(value, h) AS BIGINT) AS n
+        |FROM t GROUP BY user_id HAVING regr_count(value, h) >= 3
+        |ORDER BY user_id""".stripMargin,
 
     // ev truncates ts to microseconds: Spark's Tables.events recovers
     // ts via `div 1000` (floor to us) while DuckDB reads the parquet
