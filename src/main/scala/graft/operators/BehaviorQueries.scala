@@ -50,12 +50,17 @@ object BehaviorQueries {
     // order ulps per the stats convention.
     "agg_regr_per_user" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, dir)
-        .withColumn("epoch_us", expr("unix_micros(cast(ts as timestamp))"))
+      // raw long nanos, NOT unix_micros(cast(ts as timestamp)): that
+      // cast routes ntz→ltz through the session timezone, so a session
+      // without UTC (or events straddling a DST transition) would shift
+      // h and diverge from the tz-free oracle. Integer nanos never
+      // touch a timezone on either engine.
+      val ev = Tables.eventsRawNanos(s, dir)
+        .select(col("user_id"), col("value"), col("ts").as("tns"))
       val w = Window.partitionBy("user_id")
-      ev.withColumn("t0", min("epoch_us").over(w))
+      ev.withColumn("t0", min("tns").over(w))
         .select(col("user_id"), col("value"),
-          ((col("epoch_us") - col("t0")) / 3.6e9).as("h"))
+          ((col("tns") - col("t0")) / 3.6e12).as("h"))
         .groupBy("user_id")
         .agg(
           r4(regr_slope(col("value"), col("h"))).as("slope_per_hour"),
@@ -105,10 +110,9 @@ object BehaviorQueries {
         |ORDER BY cohort_week, weeks_since""".stripMargin,
 
     "agg_regr_per_user" ->
-      """WITH ev AS (SELECT user_id, value,
-        |    epoch_us(date_trunc('microsecond', ts)) AS epoch_us FROM events),
+      """WITH ev AS (SELECT user_id, value, epoch_ns(ts) AS tns FROM events),
         |t AS (SELECT user_id, value,
-        |    (epoch_us - min(epoch_us) OVER (PARTITION BY user_id)) / 3.6e9 AS h
+        |    (tns - min(tns) OVER (PARTITION BY user_id)) / 3.6e12 AS h
         |  FROM ev)
         |SELECT user_id, round(regr_slope(value, h), 4) AS slope_per_hour,
         |  CAST(regr_count(value, h) AS BIGINT) AS n

@@ -259,38 +259,9 @@ object Round2Queries {
     // converges in O(component diameter) rounds, each fully distributed
     // (the driver only checks the converged? count). Deterministic: the
     // fixpoint (min reachable id per node) is order-independent.
-    "llm_dedup_cluster" -> ((s, dir) => {
-      val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
-        .select(col("doc_a"), col("doc_b"))
-      val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
-        .localCheckpoint(true)
-      var labels = edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint(true)
-      // convergence is guaranteed (labels decrease monotonically, bounded
-      // below, in at most diameter rounds — measured 2-3 on this data);
-      // the generous cap only guards a logic bug, and tripping it with
-      // changes still pending must FAIL the query, not silently emit
-      // non-minimal labels that diverge from the oracle's exact closure.
-      // Superseded checkpoint blocks are released by the ContextCleaner
-      // once the old `labels` reference is dropped each round.
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 1000) {
-        val nbr = edges.join(labels.withColumnRenamed("node", "b"), "b")
-          .select(col("a").as("node"), col("label"))
-        val next = labels.union(nbr)
-          .groupBy("node").agg(min("label").as("label"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
-          .where(col("label") < col("prev")).count()
-        labels = next
-        iter += 1
-      }
-      require(changed == 0, s"llm_dedup_cluster failed to converge after $iter rounds")
-      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-        .repartition(1).sortWithinPartitions("doc_id")
-    }),
+    "llm_dedup_cluster" -> ((s, dir) =>
+      clusterLabels(s, dir)
+        .repartition(1).sortWithinPartitions("doc_id")),
 
     // ---- duplicate-cluster size distribution ----------------------------
     // The dedup IMPACT report: how many near-dup clusters of each size
@@ -299,7 +270,7 @@ object Round2Queries {
     // duplication rate. Composes the converged cluster labels; both
     // follow-up aggregations are bounded by cluster count.
     "llm_cluster_stats" -> ((s, dir) => {
-      val labels = queries("llm_dedup_cluster")(s, dir)
+      val labels = clusterLabels(s, dir)
       labels.groupBy("cluster_id").agg(count(lit(1)).as("sz"))
         .groupBy("sz")
         .agg(count(lit(1)).as("n_clusters"),
@@ -308,6 +279,45 @@ object Round2Queries {
         .orderBy("cluster_size")
     })
   )
+
+
+  /** Converged min-label duplicate clusters (doc_id, cluster_id) —
+    * shared by llm_dedup_cluster (which adds the single-partition
+    * presentation sort) and llm_cluster_stats (which aggregates the
+    * labels directly, BEFORE any repartition(1), so the stats path
+    * never funnels the label table through one partition).
+    */
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    // convergence is guaranteed (labels decrease monotonically, bounded
+    // below, in at most diameter rounds — measured 2-3 on this data);
+    // the generous cap only guards a logic bug, and tripping it with
+    // changes still pending must FAIL the query, not silently emit
+    // non-minimal labels that diverge from the oracle's exact closure.
+    // Superseded checkpoint blocks are released by the ContextCleaner
+    // once the old `labels` reference is dropped each round.
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 1000) {
+      val nbr = edges.join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .where(col("label") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"llm_dedup_cluster failed to converge after $iter rounds")
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
 
   private val lateralOracle =
     """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice

@@ -2,11 +2,17 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Whole-surface physical-plan guard: every declared query is PLANNED
-  * (not executed) at sf0.001 and checked against join-shape rules. A
-  * lost equi-condition, a dropped broadcast, or an accidental cross
-  * join anywhere in the 167-query surface fails here before it becomes
-  * a 100 TB incident.
+/** Whole-surface physical-plan guard: every declared query's FINAL
+  * plan is checked against join-shape rules at sf0.001. A lost
+  * equi-condition, a dropped broadcast, or an accidental cross join in
+  * the inspected plans fails here before it becomes a scale incident.
+  *
+  * Honest limitation: queries built around `localCheckpoint(true)`
+  * (the heavy dedup family) EXECUTE their pre-checkpoint stages during
+  * DataFrame construction and the final plan shows only a checkpoint
+  * scan — this guard does not see inside those stages. Their join
+  * shapes are covered instead by the per-family plan audits (PLANS.md)
+  * and the candidate-volume arguments in SCALING.md.
   */
 class PlanGuardSpec extends AnyFunSuite {
   import TestSpark._
@@ -25,10 +31,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "join_cross", "gen_sequence_dates", "llm_simsearch_topk",
     "llm_knn_join", "llm_bm25", "llm_tfidf_topterms", "agg_funnel")
 
-  // Queries with side effects (scratch writes) still only PLAN here —
-  // queryExecution.executedPlan does not run the job, but the
-  // roundtrip queries write during DataFrame construction, which is
-  // fine (sf0.001, tmp dirs).
+  // Roundtrip/checkpoint queries execute (part of) their pipeline
+  // during DataFrame construction; that is fine at sf0.001 with tmp
+  // dirs. Everything else only plans.
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no cartesian product and no unexpected BNLJ") {
       val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
