@@ -23,13 +23,16 @@ class PlanGuardSpec extends AnyFunSuite {
     *  - gen_sequence_dates: 31-day calendar densify
     *  - llm_simsearch_topk / llm_knn_join: broadcast single query
     *    vector / declared brute-force oracle for the ANN family
+    *  - llm_ann_recall: its ground-truth side IS the brute-force 1-NN
+    *    (recall needs exact truth; sampled at scale, see its scaladoc)
     *  - llm_bm25 / llm_tfidf_topterms: broadcast scalar corpus totals
     *  - agg_funnel: three 1-row stage counts cross-joined into the
     *    summary row
     */
   private val bnljWhitelist = Set(
     "join_cross", "gen_sequence_dates", "llm_simsearch_topk",
-    "llm_knn_join", "llm_bm25", "llm_tfidf_topterms", "agg_funnel")
+    "llm_knn_join", "llm_ann_recall", "llm_bm25", "llm_tfidf_topterms",
+    "agg_funnel")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
