@@ -308,7 +308,7 @@ object AggQueries {
         |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS totw
         |  FROM lineitem)
         |SELECT l_returnflag, min(l_extendedprice) AS weighted_median,
-        |  max(totw) AS total_weight
+        |  CAST(max(totw) AS BIGINT) AS total_weight
         |FROM c WHERE cumw * 2 >= totw
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )

@@ -150,9 +150,14 @@ object DepthQueries {
     // max |pk| ~ 1e6*2^40 ≈ 1.1e18 < Long.Max) and the tie on equal
     // balances breaks deterministically on the key (the plain
     // max_by(x, bal) would be free to pick either duplicate).
+    // The scaled balance is cast to LONG *before* the 2^40 shift so the
+    // whole key stays in exact integer arithmetic — the packed value
+    // needs ~60 significant bits, past double's 53, so a double-typed
+    // round(bal*100)*(1L<<40) would collapse equal-balance custkeys in
+    // the same ~256-wide bucket back into a nondeterministic tie.
     "agg_argminmax" -> ((s, dir) => {
-      val packed = (round(col("c_acctbal") * 100) * (1L << 40) +
-        col("c_custkey")).cast("long")
+      val packed = round(col("c_acctbal") * 100).cast("long") * (1L << 40) +
+        col("c_custkey")
       Tables.customer(s, dir)
         .withColumn("pk", packed)
         .groupBy("c_mktsegment")
@@ -226,7 +231,7 @@ object DepthQueries {
 
     "agg_argminmax" ->
       """WITH p AS (SELECT c_mktsegment, c_custkey, c_acctbal,
-        |    CAST(round(c_acctbal * 100) * 1099511627776 + c_custkey AS BIGINT) AS pk
+        |    CAST(round(c_acctbal * 100) AS BIGINT) * 1099511627776 + c_custkey AS pk
         |  FROM customer)
         |SELECT c_mktsegment,
         |  max_by(c_custkey, pk) AS richest_custkey, max(c_acctbal) AS max_bal,

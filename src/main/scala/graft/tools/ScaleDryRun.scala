@@ -66,7 +66,7 @@ object ScaleDryRun {
       val w = Window.partitionBy("lang").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       d.select(col("doc_id"), col("lang"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
+          graft.QueryUtils.nTok.as("n_tok"))
         .withColumn("cum", sum("n_tok").over(w))
         .select((col("cum") / 2048).cast("long").as("chunk"))
         .groupBy("chunk").count().count()

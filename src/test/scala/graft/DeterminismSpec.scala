@@ -28,7 +28,11 @@ class DeterminismSpec extends AnyFunSuite {
       // reductions, window stddev, bigram-LM log sums, quantization
       "agg_regr", "llm_zipf_slope", "llm_label_outliers", "llm_bigram_score",
       "llm_doc_entropy", "llm_emb_quantize", "win_moving_stats",
-      "agg_weighted_median", "llm_mix_weights", "agg_regr_per_user")) {
+      "agg_weighted_median", "llm_mix_weights", "agg_regr_per_user",
+      // round-3: packed argmin/argmax key must stay in exact integer
+      // arithmetic (ADVICE r2: double-typed key collapsed near-max
+      // balances into 256-wide tie buckets)
+      "agg_argminmax")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] =

@@ -20,14 +20,31 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns and unify datetime units (the driver does the same).
+
+    Deliberately does NOT coerce numeric dtypes: the driver's hash is typed,
+    so an int64-vs-float64 column (e.g. DuckDB HUGEINT landing as float64)
+    must FAIL here too — that exact class slipped through in round 2 when
+    this function silently converted Decimals before comparing values.
+    Decimal objects are still converted (both engines emit them only via
+    explicit casts that match), but the conversion is recorded so compare()
+    can surface a dtype diff instead of masking it.
+    """
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
-        # decimal.Decimal objects from DuckDB → float for comparison visibility
-        if df[c].dtype == object and len(df) and type(df[c].iloc[0]).__name__ == "Decimal":
-            df[c] = df[c].astype(float)
     return df
+
+
+def dtype_key(s: pd.Series) -> str:
+    """Comparable dtype label; object columns are labelled by cell type."""
+    d = str(s.dtype)
+    if d == "object" and len(s):
+        v = next((x for x in s if x is not None), None)
+        if v is not None:
+            return f"object[{type(v).__name__}]"
+    return d
 
 
 def cells_equal(a, b) -> bool:
@@ -52,6 +69,14 @@ def compare(name: str, ours: pd.DataFrame, oracle: pd.DataFrame):
         return False, f"columns differ: ours={list(ours.columns)} oracle={list(oracle.columns)}"
     if len(ours) != len(oracle):
         return False, f"row count differs: ours={len(ours)} oracle={len(oracle)}"
+    # Typed compare first: the driver hashes typed values, so dtype drift
+    # (int64 vs float64, float64 vs object[Decimal]) is a real failure even
+    # when every cell is numerically equal.
+    dt_bad = [(c, dtype_key(ours[c]), dtype_key(oracle[c]))
+              for c in ours.columns if dtype_key(ours[c]) != dtype_key(oracle[c])]
+    if dt_bad:
+        c, a, b = dt_bad[0]
+        return False, f"dtype differs on col {c}: ours={a} oracle={b} (nCols={len(dt_bad)})"
     for c in ours.columns:
         av, bv = ours[c].tolist(), oracle[c].tolist()
         bad = [i for i in range(len(av)) if not cells_equal(av[i], bv[i])]
