@@ -1,0 +1,255 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QueryUtils.hash60
+import graft.functions.VectorFunctions.{dvecDot, vecDot, vecNorm}
+import graft.tools.PlanCapture
+
+/** Deterministic seeded k-means coarse quantizer for the ANN family
+  * (llm_ann_ivf / llm_ann_multiprobe / llm_ann_recall) and the
+  * triangle-inequality-pruned EXACT 1-NN (llm_knn_join, and
+  * llm_ann_recall's ground-truth side).
+  *
+  * Round-2 verdict: the 4-cell sign quantizer made every probe scan
+  * ~25% of the corpus — not an ANN regime. This replaces it with a
+  * K=64-cell codebook: md5-seeded init, `Iters` fixed Lloyd steps.
+  *
+  * Cross-engine determinism (the DuckDB oracle replays the identical
+  * codebook via `oracleCtes`):
+  *  - every vector is quantized ONCE to an integer grid,
+  *    qv(i) = floor(1e6 * (double) embedding(i)) — floor, not round,
+  *    because DuckDB CASTs double→integer by rounding while Spark
+  *    truncates, and floor is unambiguous in both;
+  *  - seeds are the K vectors with the smallest (md5-hash, vec_id) —
+  *    the shared hash60 idiom, distributed top-K (TakeOrdered), no
+  *    global sort;
+  *  - centroids are kept as the INTEGER coordinate sums `csum` of
+  *    their members (exact, order-independent, bit-equal in both
+  *    engines; |csum| < 2^53 so the double cast is exact) — the
+  *    member count cancels out of the cosine score, so it is never
+  *    divided in;
+  *  - assignment score = dot(qv, csum)/|csum| folded left-to-right in
+  *    double (DoubleVecDot ≡ DuckDB list_aggregate), ties on the
+  *    smaller cell id.
+  *
+  * Scale (100 TB): each Lloyd step is one broadcast of K rows + one
+  * map-side-combined (cell, pos) sum — corpus-linear, shuffle bounded
+  * by 32·K·dim rows. The built index (`indexed`) is the production
+  * "write cells as a partition key" step, expressed here as an eager
+  * localCheckpoint of the (vec_id, cell) frame.
+  */
+object AnnCodebook {
+
+  /** Codebook size. 64 cells ⇒ mean per-probe scan fraction ~1.6% of
+    * the corpus (vs 25% for the round-2 sign cells). */
+  val K = 64
+
+  /** Fixed Lloyd iterations — k-means as a deterministic function of
+    * the data, not a convergence loop. */
+  val Iters = 2
+
+  /** qv(i) = floor(1e6 · x(i)) as BIGINT — see scaladoc for why floor. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * lit(1e6)))
+
+  /** Cosine-up-to-|v| score of quantized vector against a centroid sum:
+    * dot(qv, csum)/|csum| (the |qv| factor is constant per vector and
+    * cancels from the per-vector argmax). */
+  def score(qv: Column, csum: Column): Column =
+    dvecDot(qv, csum) / sqrt(dvecDot(csum, csum))
+
+  /** (vec_id, qv) projection of the embeddings table. */
+  private def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+
+  /** Assign each vector to its best cell under `cent` (cell, csum):
+    * argmax score, ties to the smaller cell. Returns (vec_id, cell, qv)
+    * — qv is carried through (first() over per-group-identical values)
+    * so Lloyd steps need no join back. */
+  private def assignWithQv(qvDf: DataFrame, cent: DataFrame): DataFrame =
+    qvDf.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("qv"), col("cell"),
+        score(col("qv"), col("csum")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("sc"), -col("cell"))).as("cell"),
+        first(col("qv")).as("qv"))
+
+  /** Build the final K-cell codebook: (cell, csum: array<long>). Each
+    * intermediate centroid table is K rows, eagerly checkpointed (and
+    * plan-captured) because every later pass folds against it. */
+  def codebook(emb: DataFrame): (DataFrame, DataFrame) = {
+    val qvDf = quantized(emb)
+    val seeds = qvDf
+      .withColumn("h", hash60(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc)
+      .limit(K)
+    // the row_number window runs over the 64 surviving rows, not the
+    // corpus — bounded by construction
+    val w = Window.orderBy(col("h").asc, col("vec_id").asc)
+    var cent = PlanCapture.stage("ann_codebook.seed",
+      seeds.select((row_number().over(w) - 1).as("cell"), col("qv").as("csum")))
+      .localCheckpoint(true)
+    for (it <- 1 to Iters) {
+      val asg = assignWithQv(qvDf, cent)
+      cent = PlanCapture.stage(s"ann_codebook.cent$it",
+        asg.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos").agg(sum("v").as("s"))
+          .groupBy("cell")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+            p => p.getField("s")).as("csum")))
+        .localCheckpoint(true)
+    }
+    (qvDf, cent)
+  }
+
+  /** The built ANN index: (e, cent) where e = (vec_id, embedding, nrm,
+    * cell) is eagerly checkpointed — both sides of every downstream
+    * cell join read the materialized index, not the build pipeline. */
+  def indexed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val emb = graft.sources.Tables.embeddings(s, dir)
+    val (qvDf, cent) = codebook(emb)
+    val cells = assignWithQv(qvDf, cent).select(col("vec_id"), col("cell"))
+    val e = emb
+      .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+      .join(cells, "vec_id")
+    (PlanCapture.stage("ann_index.e", e).localCheckpoint(true), cent)
+  }
+
+  /** Deterministic fixed-size eval slice: the `n` vec_ids smallest by
+    * (md5-hash, vec_id), as a single `a_id` column. Constant-bounded by
+    * construction — broadcastable at any corpus size. */
+  def hashSample(e: DataFrame, n: Int): DataFrame =
+    e.select(col("vec_id"))
+      .withColumn("h", hash60(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(n)
+      .select(col("vec_id").as("a_id"))
+
+  /** EXACT cosine 1-NN over the indexed corpus (optionally restricted
+    * to a sampled a-side), routed through the codebook cells with
+    * triangle-inequality cell pruning — no all-pairs join anywhere.
+    *
+    * Exactness argument: angular distance d = acos(cos) is a metric on
+    * the unit sphere. For vector a, ub_a = ang(a, own centroid) +
+    * r_own (valid whenever the own cell has a second member — the
+    * triangle inequality through the centroid reaches SOME b ≠ a). A
+    * cell c can contain a's true NN only if its closest possible
+    * member, ang(a, centroid_c) − r_c, is within ub_a; every other
+    * cell is provably NN-free and never joined. Vectors whose cell is
+    * a singleton get no bound and scan all cells (still equi-joins).
+    * All bound arithmetic carries a 1e-5 rad slack so double/acos
+    * rounding can only ADD candidate cells, never drop a true one —
+    * the output is bit-identical to the brute-force oracle, including
+    * ties (every cos tie of the max survives the bound, and the final
+    * max_by tie-break is the same (cos_sim, −b_id)).
+    *
+    * Scale: candidate volume is data-dependent (uniform random vectors
+    * keep most cells in reach — a property of the data; clustered real
+    * corpora prune hard), but the PLAN is cell-equi-joins with K-row
+    * broadcasts only; the per-vector bound pass is n×K rows.
+    */
+  def exactNN1From(e: DataFrame, cent: DataFrame,
+      sample: Option[DataFrame]): DataFrame = {
+    val cn = cent.select(col("cell").as("ccell"), col("csum"))
+      .withColumn("cnorm", sqrt(dvecDot(col("csum"), col("csum"))))
+    // angle of every vector to every centroid: n×K rows, reused by the
+    // radii, bound, and candidate stages → checkpointed once
+    val ac = PlanCapture.stage("ann_nn1.ac",
+      e.crossJoin(broadcast(cn))
+        .select(col("vec_id"), col("cell").as("own"), col("ccell"),
+          acos(least(greatest(
+            dvecDot(col("embedding"), col("csum")) / (col("nrm") * col("cnorm")),
+            lit(-1.0)), lit(1.0))).as("ang")))
+      .localCheckpoint(true)
+    val ownAng = ac.where(col("ccell") === col("own"))
+    val radii = ownAng.groupBy("ccell")
+      .agg(max(col("ang")).as("r"), count(lit(1)).as("cnt"))
+    val ub = ownAng.join(broadcast(radii), "ccell")
+      .select(col("vec_id"),
+        when(col("cnt") >= 2, col("ang") + col("r")).as("ub"))
+    val eps = lit(1e-5)
+    val cand = ac
+      .join(broadcast(radii.select(col("ccell"), col("r"))), "ccell")
+      .join(ub, "vec_id")
+      .where(col("ub").isNull || (col("ang") - col("r") <= col("ub") + eps))
+      .select(col("vec_id").as("a_id"), col("ccell").as("pc"))
+    val aAll = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+      col("nrm").as("a_n"))
+    val aSide = sample match {
+      case Some(sm) => aAll.join(broadcast(sm), Seq("a_id"))
+      case None => aAll
+    }
+    val bSide = e.select(col("cell").as("pc"), col("vec_id").as("b_id"),
+      col("embedding").as("b_v"), col("nrm").as("b_n"))
+    cand.join(aSide, "a_id").join(bSide, "pc")
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
+      .groupBy("a_id")
+      .agg(max_by(struct(col("b_id"), col("cos_sim")),
+        struct(col("cos_sim"), -col("b_id"))).as("nn"))
+      .select(col("a_id").as("vec_id"), col("nn.b_id").as("nn_id"),
+        col("nn.cos_sim").as("cos_sim"))
+  }
+
+  /** Exact 1-NN for every vector in the corpus (llm_knn_join body). */
+  def exactNN1(s: SparkSession, dir: String): DataFrame = {
+    val (e, cent) = indexed(s, dir)
+    exactNN1From(e, cent, None)
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracle replay
+  // ------------------------------------------------------------------
+
+  /** The oracle-side score expression (must fold exactly like
+    * DoubleVecDot: left-to-right double accumulation). */
+  def oracleScore(q: String, c: String): String =
+    s"(list_aggregate(list_transform(list_zip($q, $c), " +
+      s"z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), 'sum') / " +
+      s"sqrt(list_aggregate(list_transform($c, " +
+      s"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))"
+
+  /** Name of the final centroid CTE produced by [[oracleCtes]]. */
+  val oracleFinalCent: String = s"kcent$Iters"
+
+  /** CTE chain (no leading WITH) replaying the full codebook build:
+    * `kq` (quantized vectors), `kcent0..kcent$Iters` (centroid sums),
+    * `kcells` (final vec_id → cell assignment). */
+  def oracleCtes: String = {
+    val sb = new StringBuilder
+    sb ++= s"""kq AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |kseed AS (SELECT cell, qv FROM (
+      |    SELECT qv, CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cell
+      |    FROM (SELECT vec_id, qv,
+      |        ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |      FROM kq)) WHERE cell < $K),
+      |kcent0 AS (SELECT cell, qv AS csum FROM kseed)""".stripMargin
+    for (it <- 1 to Iters) {
+      val prev = s"kcent${it - 1}"
+      sb ++= s""",
+      |kasg$it AS (SELECT vec_id, qv, cell FROM (
+      |    SELECT v.vec_id, v.qv, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${oracleScore("v.qv", "c.csum")} DESC, c.cell ASC) AS rn
+      |    FROM kq v CROSS JOIN $prev c) WHERE rn = 1),
+      |kcent${it}e AS (SELECT cell, x.pos AS pos, x.v AS v FROM (
+      |    SELECT cell, unnest(list_transform(generate_series(1, len(qv)),
+      |      i -> struct_pack(pos := i, v := qv[i]))) AS x FROM kasg$it)),
+      |kcent$it AS (SELECT cell, list(s ORDER BY pos) AS csum FROM (
+      |    SELECT cell, pos, CAST(sum(v) AS BIGINT) AS s
+      |    FROM kcent${it}e GROUP BY cell, pos) GROUP BY cell)""".stripMargin
+    }
+    sb ++= s""",
+      |kcells AS (SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${oracleScore("v.qv", "c.csum")} DESC, c.cell ASC) AS rn
+      |    FROM kq v CROSS JOIN $oracleFinalCent c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+}

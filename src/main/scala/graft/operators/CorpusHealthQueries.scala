@@ -76,34 +76,34 @@ object CorpusHealthQueries {
     }),
 
     // ---- ANN recall@1 vs exact ground truth ------------------------------
-    // For every vector: does the cell-probed ANN (same coarse quantizer
-    // as llm_ann_ivf, own cell only) return the same 1-NN as the exact
-    // brute-force join? One summary row: n_vecs, n_match, recall@1 —
-    // the eval gate run before trusting an ANN index. A vector whose
-    // cell holds no partner counts as a miss (left join). Ground truth
-    // is inherently quadratic (it IS the declared brute-force oracle
-    // shape); at 100 TB recall is measured on a hash-sampled eval slice
-    // (llm_sample_hash) while the ANN side stays cell-local.
+    // Recall@1 of the own-cell ANN probe (same k-means codebook as
+    // llm_ann_ivf, 64 cells) against the EXACT 1-NN, measured on a
+    // deterministic 256-vector hash-sampled eval slice — the round-2
+    // "sampled at scale" prose, now in code: the slice is top-256 by
+    // (md5-hash, vec_id), so its size is constant in the corpus and
+    // both sides stay corpus-linear. The exact side reuses
+    // AnnCodebook's triangle-pruned exact 1-NN (no brute-force theta
+    // join anywhere); the ANN side is one cell-equi-join over the
+    // sampled vectors. A sampled vector whose cell holds no partner
+    // counts as a miss (left join).
     "llm_ann_recall" -> ((s, dir) => {
-      import graft.functions.VectorFunctions.{vecDot, vecNorm}
-      val cellExpr =
-        (when(element_at(col("embedding"), 1) > 0f, 2).otherwise(0)
-          + when(element_at(col("embedding"), 2) > 0f, 1).otherwise(0)).as("cell")
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          vecNorm(col("embedding")).as("nrm"), cellExpr)
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
-        col("nrm").as("a_n"), col("cell").as("a_cell"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
-        col("nrm").as("b_n"), col("cell").as("b_cell"))
-      def nn1(pairs: org.apache.spark.sql.DataFrame, out: String) = pairs
+      import graft.functions.AnnCodebook
+      import graft.functions.VectorFunctions.vecDot
+      val (e, cent) = AnnCodebook.indexed(s, dir)
+      val sample = AnnCodebook.hashSample(e, 256)
+      val exact = AnnCodebook.exactNN1From(e, cent, Some(sample))
+        .select(col("vec_id").as("a_id"), col("nn_id").as("nn_exact"))
+      val aS = e.select(col("vec_id").as("a_id"), col("cell"),
+        col("embedding").as("a_v"), col("nrm").as("a_n"))
+        .join(broadcast(sample), Seq("a_id"))
+      val bS = e.select(col("vec_id").as("b_id"), col("cell"),
+        col("embedding").as("b_v"), col("nrm").as("b_n"))
+      val ann = aS.join(bS, Seq("cell"))
+        .where(col("a_id") =!= col("b_id"))
         .select(col("a_id"), col("b_id"),
           (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
         .groupBy("a_id")
-        .agg(max_by(col("b_id"), struct(col("cos_sim"), -col("b_id"))).as(out))
-      val exact = nn1(a.join(b, col("a_id") =!= col("b_id")), "nn_exact")
-      val ann = nn1(a.join(b,
-        col("a_id") =!= col("b_id") && col("a_cell") === col("b_cell")), "nn_ann")
+        .agg(max_by(col("b_id"), struct(col("cos_sim"), -col("b_id"))).as("nn_ann"))
       exact.join(ann, Seq("a_id"), "left")
         .agg(count(lit(1)).as("n_vecs"),
           count_if(col("nn_ann") === col("nn_exact")).as("n_match"))
@@ -163,18 +163,24 @@ object CorpusHealthQueries {
         |SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, cos_cent
         |FROM ranked WHERE rk <= 3 ORDER BY label, rk""".stripMargin,
 
-    "llm_ann_recall" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev,
-        |    (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END +
-        |     CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS cell
-        |  FROM embeddings),
+    "llm_ann_recall" -> (
+      s"WITH ${graft.functions.AnnCodebook.oracleCtes}," +
+      """
+        |ke AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+        |    kcells.cell AS cell
+        |  FROM embeddings e JOIN kcells ON e.vec_id = kcells.vec_id),
         |n AS (SELECT vec_id, ev, cell,
         |    sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) AS nrm
-        |  FROM e),
+        |  FROM ke),
+        |ksmp AS (SELECT vec_id AS a_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 256),
         |p AS (SELECT a.vec_id a_id, b.vec_id b_id, a.cell acell, b.cell bcell,
         |    list_aggregate(list_transform(list_zip(a.ev, b.ev), z -> z[1] * z[2]), 'sum')
         |      / (a.nrm * b.nrm) AS cos_sim
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |  FROM n a JOIN ksmp ON a.vec_id = ksmp.a_id
+        |  JOIN n b ON a.vec_id <> b.vec_id),
         |ex AS (SELECT a_id, b_id AS nn_exact FROM (
         |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
         |      ORDER BY cos_sim DESC, b_id ASC) rn FROM p) WHERE rn = 1),
@@ -185,7 +191,7 @@ object CorpusHealthQueries {
         |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(count_if(an.nn_ann = ex.nn_exact) AS BIGINT) AS n_match,
         |  round(count_if(an.nn_ann = ex.nn_exact) * 1.0 / count(*), 4) AS recall_at_1
-        |FROM ex LEFT JOIN an USING (a_id)""".stripMargin,
+        |FROM ex LEFT JOIN an USING (a_id)""".stripMargin),
 
     "llm_zipf_slope" ->
       """WITH tf AS (SELECT lang,

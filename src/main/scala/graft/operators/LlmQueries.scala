@@ -106,20 +106,14 @@ object LlmQueries {
         .limit(10)
     }),
 
-    "llm_knn_join" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-      val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_v"), col("nrm").as("a_n"))
-      val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"), col("nrm").as("b_n"))
-      a.join(b, col("a_id") =!= col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
-        .groupBy("a_id")
-        .agg(max_by(struct(col("b_id"), col("cos_sim")),
-          struct(col("cos_sim"), -col("b_id"))).as("nn"))
-        .select(col("a_id").as("vec_id"), col("nn.b_id").as("nn_id"), col("nn.cos_sim").as("cos_sim"))
-        .orderBy("vec_id")
-    }),
+    // EXACT all-corpus 1-NN — no longer the whitelisted brute-force
+    // theta join: AnnCodebook.exactNN1 routes the same semantics
+    // through k-means cells with triangle-inequality cell pruning
+    // (lossless — see its scaladoc for the bound), so the plan is
+    // cell-equi-joins plus K-row broadcasts. The DuckDB oracle stays
+    // brute force: pruning must not move a single output bit.
+    "llm_knn_join" -> ((s, dir) =>
+      graft.functions.AnnCodebook.exactNN1(s, dir).orderBy("vec_id")),
 
     "llm_text_stats" -> ((s, dir) => {
       Tables.documents(s, dir)

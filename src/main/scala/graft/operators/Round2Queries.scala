@@ -115,27 +115,31 @@ object Round2Queries {
         .orderBy("l_returnflag")
     }),
 
-    // ---- multi-probe hyperplane-LSH ANN ---------------------------------
-    // probes the query's bucket PLUS the 8 Hamming-1 neighbor buckets —
-    // the standard recall lever that avoids building more tables; at
-    // 100 TB the probe set is still a constant fan-out of partition-key
-    // lookups, not a scan.
+    // ---- multi-probe IVF ANN --------------------------------------------
+    // probes the query's 3 NEAREST codebook cells (by centroid score) —
+    // the standard recall lever over a single k-means index; at 100 TB
+    // the probe set is still a constant fan-out of partition-key
+    // lookups, not a scan. Round 2 multi-probed the hyperplane-LSH
+    // buckets via Hamming-1 flips; with the AnnCodebook k-means
+    // quantizer (64 cells) the analogous move is nearest-centroid
+    // probing. llm_ann_lsh keeps the hyperplane index alive.
     "llm_ann_multiprobe" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          ScaleQueries.lshBucket(col("embedding")).as("bucket"))
+      import graft.functions.AnnCodebook
+      val (e, cent) = AnnCodebook.indexed(s, dir)
+      val cn = cent.select(col("cell").as("pcell"), col("csum"))
       val probes = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
-        .select(col("qv"), explode(array(
-          (Seq(lit(0)) ++ (0 until 8).map(i => lit(1 << i))): _*)).as("flip"),
-          col("qbucket"))
-        .select(col("qv"), col("qbucket").bitwiseXOR(col("flip")).as("pbucket"))
+        .select(AnnCodebook.quantize(col("embedding")).as("qv"),
+          col("embedding").as("qe"), col("nrm").as("qn"))
+        .crossJoin(broadcast(cn))
+        .select(col("qe"), col("qn"), col("pcell"),
+          AnnCodebook.score(col("qv"), col("csum")).as("sc"))
+        .orderBy(col("sc").desc, col("pcell").asc).limit(3)
+        .select("qe", "qn", "pcell")
       e.where(col("vec_id") =!= 0)
-        .join(broadcast(probes), col("bucket") === col("pbucket"))
-        .select(col("vec_id"), col("bucket"),
-          (vecDot(col("embedding"), col("qv"))
-            / (sqrt(vecDot(col("embedding"), col("embedding")))
-              * sqrt(vecDot(col("qv"), col("qv"))))).as("cos_sim"))
+        .join(broadcast(probes), col("cell") === col("pcell"))
+        .select(col("vec_id"), col("cell"),
+          (vecDot(col("embedding"), col("qe"))
+            / (col("nrm") * col("qn"))).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -405,30 +409,27 @@ object Round2Queries {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "llm_ann_multiprobe" ->
-      """WITH hp AS (
-        |  SELECT i, list_transform(generate_series(1, 64),
-        |    j -> ((('0x' || substr(md5('hp-' || i || '-' || j), 1, 15))::BIGINT % 2001) - 1000) / 1000.0) AS v
-        |  FROM (SELECT unnest(generate_series(0, 7)) i)),
-        |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ev FROM embeddings),
-        |dots AS (
-        |  SELECT e.vec_id, hp.i,
-        |    list_aggregate(list_transform(list_zip(e.ev, hp.v), p -> p[1] * p[2]), 'sum') AS dot
-        |  FROM e CROSS JOIN hp),
-        |sig AS (
-        |  SELECT vec_id,
-        |    CAST(SUM(CASE WHEN dot > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END) AS INT) AS bucket
-        |  FROM dots GROUP BY vec_id),
-        |q AS (SELECT ev AS qv, bucket AS qbucket FROM e JOIN sig USING (vec_id) WHERE vec_id = 0),
-        |probes AS (SELECT qv, xor(qbucket, f) AS pbucket
-        |           FROM q, (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) f))
-        |SELECT e.vec_id, sig.bucket,
-        |  list_aggregate(list_transform(list_zip(e.ev, p.qv), z -> z[1] * z[2]), 'sum') /
-        |  (sqrt(list_aggregate(list_transform(e.ev, x -> x * x), 'sum')) *
-        |   sqrt(list_aggregate(list_transform(p.qv, x -> x * x), 'sum'))) AS cos_sim
-        |FROM e JOIN sig USING (vec_id) JOIN probes p ON sig.bucket = p.pbucket
-        |WHERE e.vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "llm_ann_multiprobe" -> (
+      s"WITH ${graft.functions.AnnCodebook.oracleCtes}," +
+      s"""
+        |ke AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+        |    kcells.cell AS cell
+        |  FROM embeddings e JOIN kcells ON e.vec_id = kcells.vec_id),
+        |kqq AS (SELECT qv FROM kq WHERE vec_id = 0),
+        |kprobe AS (SELECT cell AS pcell FROM (
+        |    SELECT c.cell, row_number() OVER (
+        |      ORDER BY ${graft.functions.AnnCodebook.oracleScore("q.qv", "c.csum")} DESC,
+        |        c.cell ASC) AS rn
+        |    FROM kqq q CROSS JOIN ${graft.functions.AnnCodebook.oracleFinalCent} c)
+        |  WHERE rn <= 3),
+        |q AS (SELECT ev AS qv FROM ke WHERE vec_id = 0)
+        |SELECT ke.vec_id, ke.cell,
+        |  list_aggregate(list_transform(list_zip(ke.ev, q.qv), z -> z[1] * z[2]), 'sum') /
+        |  (sqrt(list_aggregate(list_transform(ke.ev, x -> x * x), 'sum')) *
+        |   sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos_sim
+        |FROM ke JOIN kprobe ON ke.cell = kprobe.pcell, q
+        |WHERE ke.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin),
 
     "llm_dedup_cluster" -> clusterOracle,
 

@@ -322,19 +322,23 @@ object ScaleQueries {
         .repartition(1).sortWithinPartitions("a_id", "b_id")
     }),
 
-    // ---- IVF-style ANN: sign-cells as a coarse quantizer, probe 1 cell -
+    // ---- IVF ANN: seeded k-means codebook (64 cells), probe 1 cell -----
+    // Round-2's 4-cell sign quantizer scanned ~25% of the corpus per
+    // probe; the AnnCodebook k-means index (md5-seeded init, 2 fixed
+    // Lloyd steps, integer centroid sums replayed exactly by the
+    // oracle) brings the mean probe to ~1/64 of the corpus. The probe
+    // itself is unchanged: broadcast the query row, equi-join on its
+    // cell, TakeOrdered top-10.
     "llm_ann_ivf" -> ((s, dir) => {
-      val cellExpr =
-        (when(element_at(col("embedding"), 1) > 0f, 2).otherwise(0)
-          + when(element_at(col("embedding"), 2) > 0f, 1).otherwise(0)).as("cell")
-      val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"), cellExpr)
+      val (e, _) = graft.functions.AnnCodebook.indexed(s, dir)
       val q = e.where(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("cell").as("qcell"))
+        .select(col("embedding").as("qv"), col("nrm").as("qn"),
+          col("cell").as("qcell"))
       e.where(col("vec_id") =!= 0)
         .join(broadcast(q), col("cell") === col("qcell"))
         .select(col("vec_id"), col("cell"),
           (vecDot(col("embedding"), col("qv"))
-            / (vecNorm(col("embedding")) * vecNorm(col("qv")))).as("cos_sim"))
+            / (col("nrm") * col("qn"))).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -424,16 +428,17 @@ object ScaleQueries {
   }
 
   private val annIvfOracle =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) ev,
-      |    (CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
-      |     + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END) AS cell
-      |  FROM embeddings),
-      |q AS (SELECT ev qv, cell qcell FROM e WHERE vec_id = 0)
-      |SELECT e.vec_id, e.cell,
-      |  list_aggregate(list_transform(list_zip(e.ev, q.qv), p -> p[1] * p[2]), 'sum') /
-      |  (sqrt(list_aggregate(list_transform(e.ev, x -> x * x), 'sum')) *
+    s"WITH ${graft.functions.AnnCodebook.oracleCtes}," +
+    """
+      |ke AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+      |    kcells.cell AS cell
+      |  FROM embeddings e JOIN kcells ON e.vec_id = kcells.vec_id),
+      |q AS (SELECT ev qv, cell qcell FROM ke WHERE vec_id = 0)
+      |SELECT ke.vec_id, ke.cell,
+      |  list_aggregate(list_transform(list_zip(ke.ev, q.qv), p -> p[1] * p[2]), 'sum') /
+      |  (sqrt(list_aggregate(list_transform(ke.ev, x -> x * x), 'sum')) *
       |   sqrt(list_aggregate(list_transform(q.qv, x -> x * x), 'sum'))) AS cos_sim
-      |FROM e, q WHERE e.vec_id <> 0 AND e.cell = q.qcell
+      |FROM ke, q WHERE ke.vec_id <> 0 AND ke.cell = q.qcell
       |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
 
   private val simhashPairsOracle =

@@ -18,20 +18,24 @@ class PlanGuardSpec extends AnyFunSuite {
   import TestSpark._
 
   /** Queries that legitimately plan a BroadcastNestedLoopJoin — each
-    * one broadcasts a provably tiny side:
+    * one broadcasts a PROVABLY tiny side (constant-bounded by
+    * construction, never corpus-sized):
     *  - join_cross: the declared cross-join operator (25×5 dims)
     *  - gen_sequence_dates: 31-day calendar densify
-    *  - llm_simsearch_topk / llm_knn_join: broadcast single query
-    *    vector / declared brute-force oracle for the ANN family
-    *  - llm_ann_recall: its ground-truth side IS the brute-force 1-NN
-    *    (recall needs exact truth; sampled at scale, see its scaladoc)
+    *  - llm_simsearch_topk: broadcast single query vector
+    *  - llm_ann_multiprobe: the query row crossed with the 64-row
+    *    codebook centroid table to rank probe cells
     *  - llm_bm25 / llm_tfidf_topterms: broadcast scalar corpus totals
     *  - agg_funnel: three 1-row stage counts cross-joined into the
     *    summary row
+    *
+    * Round-3 removals: llm_knn_join and llm_ann_recall no longer plan
+    * any BNLJ — their exact sides route through AnnCodebook's
+    * triangle-pruned cell joins (verdict items 3/4).
     */
   private val bnljWhitelist = Set(
     "join_cross", "gen_sequence_dates", "llm_simsearch_topk",
-    "llm_knn_join", "llm_ann_recall", "llm_bm25", "llm_tfidf_topterms",
+    "llm_ann_multiprobe", "llm_bm25", "llm_tfidf_topterms",
     "agg_funnel")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
