@@ -219,9 +219,12 @@ object TextShingles {
     * partitioning. Verification is one merge-pass SortedIntersectCount
     * per candidate, and the 0.6 threshold is the integer-exact
     * `10·|∩| >= 6·|∪|` so no float boundary can diverge from the DuckDB
-    * oracle. Output: (doc_a, doc_b, jaccard), totally ordered in a
-    * single partition (the result is tiny; a global orderBy would
-    * range-sample and re-run the whole pipeline).
+    * oracle. Output: (doc_a, doc_b, jaccard), globally ordered over the
+    * CHECKPOINTED pair list — the verified pairs are materialized
+    * first, so the orderBy's range sampling scans only the (near-dup-
+    * density-sized) pair list, never re-runs the pipeline, and the
+    * round-2 `repartition(1)` single-task funnel (a straggler once the
+    * pair list grows with a dirty corpus's duplication rate) is gone.
     */
   def verifyJaccard06(cand: DataFrame, sh: DataFrame): DataFrame =
     verifyJaccard(cand, sh, tenths = 6)
@@ -231,7 +234,7 @@ object TextShingles {
   def verifyJaccard(cand: DataFrame, sh: DataFrame, tenths: Int): DataFrame = {
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"), col("n").as("nb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    val pairs = cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"),
         sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"),
         col("na"), col("nb"))
@@ -245,7 +248,8 @@ object TextShingles {
       .where(coalesce(col("inter") * 10 >= col("uni") * tenths, lit(false)))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
-      .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+    graft.tools.PlanCapture.stage("jaccard.pairs", pairs)
+      .localCheckpoint(true).orderBy("doc_a", "doc_b")
   }
 
   /** Containment sibling of verifyJaccard: keeps DIRECTED candidate
@@ -258,13 +262,14 @@ object TextShingles {
   def verifyContainment(cand: DataFrame, sh: DataFrame, tenths: Int): DataFrame = {
     val sa = sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh"), col("n").as("na"))
     val sb = sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    val pairs = cand.join(sa, "a_id").join(sb, "b_id")
       .select(col("a_id"), col("b_id"), col("na"),
         sortedIntersectCount(col("a_sh"), col("b_sh")).as("inter"))
       .where(coalesce(col("inter") * 10 >= col("na") * tenths, lit(false)))
       .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
         (col("inter").cast("double") / col("na")).as("containment"))
-      .repartition(1).sortWithinPartitions("contained_id", "container_id")
+    graft.tools.PlanCapture.stage("containment.pairs", pairs)
+      .localCheckpoint(true).orderBy("contained_id", "container_id")
   }
 
   /** DuckDB CTE producing the same per-doc shingle sets (oracle side).

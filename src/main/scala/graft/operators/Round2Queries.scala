@@ -263,9 +263,11 @@ object Round2Queries {
     // converges in O(component diameter) rounds, each fully distributed
     // (the driver only checks the converged? count). Deterministic: the
     // fixpoint (min reachable id per node) is order-independent.
+    // the converged label table is already checkpointed, so the global
+    // orderBy range-samples and scans only that materialization — no
+    // single-task repartition(1) funnel on a corpus-sized output
     "llm_dedup_cluster" -> ((s, dir) =>
-      clusterLabels(s, dir)
-        .repartition(1).sortWithinPartitions("doc_id")),
+      clusterLabels(s, dir).orderBy("doc_id")),
 
     // ---- duplicate-cluster size distribution ----------------------------
     // The dedup IMPACT report: how many near-dup clusters of each size
@@ -286,19 +288,20 @@ object Round2Queries {
 
 
   /** Converged min-label duplicate clusters (doc_id, cluster_id) —
-    * shared by llm_dedup_cluster (which adds the single-partition
-    * presentation sort) and llm_cluster_stats (which aggregates the
-    * labels directly, BEFORE any repartition(1), so the stats path
-    * never funnels the label table through one partition).
+    * shared by llm_dedup_cluster (which adds the global presentation
+    * orderBy over the checkpointed labels) and llm_cluster_stats
+    * (which aggregates the labels directly).
     */
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
       .select(col("doc_a"), col("doc_b"))
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val edges = graft.tools.PlanCapture.stage("cluster.edges",
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
       .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
+    var labels = graft.tools.PlanCapture.stage("cluster.labels0",
+      edges.select(col("a").as("node")).distinct()
+        .withColumn("label", col("node"))).localCheckpoint(true)
     // convergence is guaranteed (labels decrease monotonically, bounded
     // below, in at most diameter rounds — measured 2-3 on this data);
     // the generous cap only guards a logic bug, and tripping it with
@@ -311,8 +314,9 @@ object Round2Queries {
     while (changed > 0 && iter < 1000) {
       val nbr = edges.join(labels.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("label"))
-      val next = labels.union(nbr)
-        .groupBy("node").agg(min("label").as("label"))
+      val next = graft.tools.PlanCapture.stage("cluster.iter",
+        labels.union(nbr)
+          .groupBy("node").agg(min("label").as("label")))
         .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .where(col("label") < col("prev")).count()

@@ -177,11 +177,15 @@ object ScaleQueries {
       // small candidate side instead when it fits
       val sa = sim.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"))
       val sb = sim.select(col("doc_id").as("b_id"), col("simhash").as("b_sim"))
-      cand.join(sa, "a_id").join(sb, "b_id")
+      val pairs = cand.join(sa, "a_id").join(sb, "b_id")
         .withColumn("hamming", bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).cast("int"))
         .where(col("hamming") <= 3)
         .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("hamming"))
-        .repartition(1).sortWithinPartitions("doc_a", "doc_b")
+      // orderBy over the CHECKPOINTED pair list: range sampling scans
+      // only the materialized pairs (no single-task repartition(1)
+      // funnel, no pipeline re-run)
+      graft.tools.PlanCapture.stage("simhash.pairs", pairs)
+        .localCheckpoint(true).orderBy("doc_a", "doc_b")
     }),
 
     // ---- heuristic language ID: profile hit counts + alphabetic argmax -
@@ -315,11 +319,13 @@ object ScaleQueries {
       val eb = e.select(col("cell").as("cb"), col("vec_id").as("b_id"),
         col("embedding").as("b_v"), col("nrm").as("b_n"))
       val candA = ea.join(broadcast(allowed), "ca")
-      candA.join(eb, candA("cb") === eb("cb") && col("a_id") < col("b_id"))
+      val pairs = candA.join(eb, candA("cb") === eb("cb") && col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
         .where(col("cos_sim") >= 0.4)
-        .repartition(1).sortWithinPartitions("a_id", "b_id")
+      // checkpointed-pairs orderBy, not repartition(1): see llm_dedup_simhash
+      graft.tools.PlanCapture.stage("embcos.pairs", pairs)
+        .localCheckpoint(true).orderBy("a_id", "b_id")
     }),
 
     // ---- IVF ANN: seeded k-means codebook (64 cells), probe 1 cell -----

@@ -7,15 +7,19 @@ import org.scalatest.funsuite.AnyFunSuite
   * equi-condition, a dropped broadcast, or an accidental cross join in
   * the inspected plans fails here before it becomes a scale incident.
   *
-  * Honest limitation: queries built around `localCheckpoint(true)`
-  * (the heavy dedup family) EXECUTE their pre-checkpoint stages during
-  * DataFrame construction and the final plan shows only a checkpoint
-  * scan — this guard does not see inside those stages. Their join
-  * shapes are covered instead by the per-family plan audits (PLANS.md)
-  * and the candidate-volume arguments in SCALING.md.
+  * Round 2's honest limitation — `localCheckpoint(true)` queries
+  * execute their pre-checkpoint stages at construction, so the final
+  * plan showed only a checkpoint scan — is closed: every builder now
+  * routes its about-to-be-checkpointed frames through
+  * `PlanCapture.stage`, and this guard asserts the SAME rules on each
+  * captured pre-checkpoint physical plan. The only BNLJ allowed inside
+  * captured stages is the ANN codebook's vectors × centroid-table
+  * cross join, whose broadcast side is bounded by K=64 rows by
+  * construction (tags `ann_*`).
   */
 class PlanGuardSpec extends AnyFunSuite {
   import TestSpark._
+  import graft.tools.PlanCapture
 
   /** Queries that legitimately plan a BroadcastNestedLoopJoin — each
     * one broadcasts a PROVABLY tiny side (constant-bounded by
@@ -43,12 +47,25 @@ class PlanGuardSpec extends AnyFunSuite {
   // dirs. Everything else only plans.
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no cartesian product and no unexpected BNLJ") {
-      val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+      PlanCapture.enable()
+      val plan =
+        try fn(spark, sf0001).queryExecution.executedPlan.toString
+        finally PlanCapture.disable()
+      val staged = PlanCapture.captured
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
       if (!bnljWhitelist.contains(name)) {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin but is not whitelisted:\n$plan")
+      }
+      for ((tag, p) <- staged) {
+        val ps = p.toString
+        assert(!ps.contains("CartesianProduct"),
+          s"$name pre-checkpoint stage '$tag' plans a CartesianProduct:\n$ps")
+        if (!tag.startsWith("ann_")) {
+          assert(!ps.contains("BroadcastNestedLoopJoin"),
+            s"$name pre-checkpoint stage '$tag' plans a BNLJ:\n$ps")
+        }
       }
     }
   }
