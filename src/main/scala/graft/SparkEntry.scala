@@ -27,7 +27,8 @@ object SparkEntry {
       CurationQueries.queries ++ CorpusStatsQueries.queries ++
       TrainPrepQueries.queries ++ TpchQueries.queries ++
       StatSurfaceQueries.queries ++ DepthQueries.queries ++
-      CorpusHealthQueries.queries ++ BehaviorQueries.queries
+      CorpusHealthQueries.queries ++ BehaviorQueries.queries ++
+      Round3Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       CurationQueries.oracles ++ CorpusStatsQueries.oracles ++
       TrainPrepQueries.oracles ++ TpchQueries.oracles ++
       StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
-      CorpusHealthQueries.oracles ++ BehaviorQueries.oracles
+      CorpusHealthQueries.oracles ++ BehaviorQueries.oracles ++
+      Round3Queries.oracles
 }

@@ -36,7 +36,8 @@ class QueriesSpec extends AnyFunSuite {
       CurationQueries.queries, CorpusStatsQueries.queries,
       TrainPrepQueries.queries, TpchQueries.queries,
       StatSurfaceQueries.queries, DepthQueries.queries,
-      CorpusHealthQueries.queries, BehaviorQueries.queries)
+      CorpusHealthQueries.queries, BehaviorQueries.queries,
+      Round3Queries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
