@@ -96,6 +96,14 @@ object Multimodal {
     }
   }
 
+  /** Batch resize over decoded metadata — same per-partition batch
+    * shape as decodeMeta (a real resize maps bytes → bytes with a codec
+    * in the loop; this recomputes the metadata contract). */
+  def resizeMetas(metas: Dataset[MediaMeta], maxSide: Int): Dataset[MediaMeta] = {
+    import metas.sparkSession.implicits._
+    metas.mapPartitions(_.map(m => resizeMeta(m, maxSide)))
+  }
+
   /** Deterministic frame sampling: every k-th frame index. */
   def sampleFrameIndices(nFrames: Int, stride: Int): Seq[Int] =
     if (nFrames <= 0 || stride <= 0) Seq.empty else 0 until nFrames by stride

@@ -19,7 +19,11 @@ object PlanAudit {
       "topk_global", "agg_groupby_pricing", "llm_simsearch_topk", "llm_dedup_near",
       "llm_dedup_simhash", "llm_dedup_embcos",
       "tpch_q3", "tpch_q5", "tpch_q18", "llm_bigram_score", "llm_curate_e2e",
-      "source_partitioned_pruned", "llm_emb_quantize")
+      "source_partitioned_pruned", "llm_emb_quantize",
+      // round-3 headliners: triangle-pruned exact 1-NN, k-means IVF,
+      // bucketed interval join, multimodal batch decode
+      "llm_knn_join", "llm_ann_ivf", "join_interval_overlap",
+      "llm_multimodal_decode")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
