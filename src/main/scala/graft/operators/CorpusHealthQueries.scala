@@ -89,9 +89,9 @@ object CorpusHealthQueries {
     "llm_ann_recall" -> ((s, dir) => {
       import graft.functions.AnnCodebook
       import graft.functions.VectorFunctions.vecDot
-      val (e, cent) = AnnCodebook.indexed(s, dir)
+      val (e, _) = AnnCodebook.indexed(s, dir)
       val sample = AnnCodebook.hashSample(e, 256)
-      val exact = AnnCodebook.exactNN1From(e, cent, Some(sample))
+      val exact = AnnCodebook.exactNN1From(s, dir, Some(sample))
         .select(col("vec_id").as("a_id"), col("nn_id").as("nn_exact"))
       val aS = e.select(col("vec_id").as("a_id"), col("cell"),
         col("embedding").as("a_v"), col("nrm").as("a_n"))

@@ -23,7 +23,9 @@ object PlanCapture {
   @volatile private var enabled = false
   private val buf = scala.collection.mutable.ArrayBuffer[(String, SparkPlan)]()
 
-  def enable(): Unit = synchronized { enabled = true; buf.clear() }
+  // clearing IndexCache guarantees capture sees fresh builds — a
+  // pre-built memoized index would otherwise skip its staged plans
+  def enable(): Unit = synchronized { enabled = true; buf.clear(); IndexCache.clear() }
   def disable(): Unit = synchronized { enabled = false }
 
   /** Record `df`'s physical plan under `tag` if capture is on; returns

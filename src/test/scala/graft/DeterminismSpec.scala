@@ -12,8 +12,12 @@ class DeterminismSpec extends AnyFunSuite {
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name is run-to-run deterministic at sf0.001") {
-      def snapshot(): Seq[String] =
+      def snapshot(): Seq[String] = {
+        // a memoized index must not make the second run vacuous — the
+        // build itself is part of what must be deterministic
+        graft.tools.IndexCache.clear()
         fn(spark, sf0001).collect().toSeq.map(_.toString)
+      }
       assert(snapshot() == snapshot())
     }
   }
@@ -35,8 +39,10 @@ class DeterminismSpec extends AnyFunSuite {
       "agg_argminmax")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
-      def snapshot(): Seq[String] =
+      def snapshot(): Seq[String] = {
+        graft.tools.IndexCache.clear()
         fn(spark, sf001).collect().toSeq.map(_.toString)
+      }
       assert(snapshot() == snapshot())
     }
   }
