@@ -28,7 +28,7 @@ object SparkEntry {
       TrainPrepQueries.queries ++ TpchQueries.queries ++
       StatSurfaceQueries.queries ++ DepthQueries.queries ++
       CorpusHealthQueries.queries ++ BehaviorQueries.queries ++
-      Round3Queries.queries
+      Round3Queries.queries ++ TpchDeepQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +42,5 @@ object SparkEntry {
       TrainPrepQueries.oracles ++ TpchQueries.oracles ++
       StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
       CorpusHealthQueries.oracles ++ BehaviorQueries.oracles ++
-      Round3Queries.oracles
+      Round3Queries.oracles ++ TpchDeepQueries.oracles
 }

@@ -32,6 +32,8 @@ class PlanGuardSpec extends AnyFunSuite {
     *  - llm_bm25 / llm_tfidf_topterms: broadcast scalar corpus totals
     *  - agg_funnel: three 1-row stage counts cross-joined into the
     *    summary row
+    *  - tpch_q22: the 1-row global average-balance scalar broadcast
+    *    against the filtered customer side
     *
     * Round-3 removals: llm_knn_join and llm_ann_recall no longer plan
     * any BNLJ — their exact sides route through AnnCodebook's
@@ -40,7 +42,7 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljWhitelist = Set(
     "join_cross", "gen_sequence_dates", "llm_simsearch_topk",
     "llm_ann_multiprobe", "llm_bm25", "llm_tfidf_topterms",
-    "agg_funnel")
+    "agg_funnel", "tpch_q22")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
