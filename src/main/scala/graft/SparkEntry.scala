@@ -28,7 +28,8 @@ object SparkEntry {
       TrainPrepQueries.queries ++ TpchQueries.queries ++
       StatSurfaceQueries.queries ++ DepthQueries.queries ++
       CorpusHealthQueries.queries ++ BehaviorQueries.queries ++
-      Round3Queries.queries ++ TpchDeepQueries.queries
+      Round3Queries.queries ++ TpchDeepQueries.queries ++
+      PipelineDepthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       TrainPrepQueries.oracles ++ TpchQueries.oracles ++
       StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
       CorpusHealthQueries.oracles ++ BehaviorQueries.oracles ++
-      Round3Queries.oracles ++ TpchDeepQueries.oracles
+      Round3Queries.oracles ++ TpchDeepQueries.oracles ++
+      PipelineDepthQueries.oracles
 }

@@ -42,7 +42,11 @@ class PlanGuardSpec extends AnyFunSuite {
   private val bnljWhitelist = Set(
     "join_cross", "gen_sequence_dates", "llm_simsearch_topk",
     "llm_ann_multiprobe", "llm_bm25", "llm_tfidf_topterms",
-    "agg_funnel", "tpch_q22")
+    "agg_funnel", "tpch_q22",
+    // llm_rank_fusion: broadcast single query vector (as llm_simsearch);
+    // llm_contamination_rate: two 1-row counters cross-joined into the
+    // summary row (as agg_funnel)
+    "llm_rank_fusion", "llm_contamination_rate")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp

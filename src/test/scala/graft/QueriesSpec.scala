@@ -37,7 +37,8 @@ class QueriesSpec extends AnyFunSuite {
       TrainPrepQueries.queries, TpchQueries.queries,
       StatSurfaceQueries.queries, DepthQueries.queries,
       CorpusHealthQueries.queries, BehaviorQueries.queries,
-      Round3Queries.queries, TpchDeepQueries.queries)
+      Round3Queries.queries, TpchDeepQueries.queries,
+      PipelineDepthQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
