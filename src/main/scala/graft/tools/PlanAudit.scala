@@ -23,7 +23,11 @@ object PlanAudit {
       // round-3 headliners: triangle-pruned exact 1-NN, k-means IVF,
       // bucketed interval join, multimodal batch decode
       "llm_knn_join", "llm_ann_ivf", "join_interval_overlap",
-      "llm_multimodal_decode")
+      "llm_multimodal_decode",
+      // round-3 batch 2/3: TPC-H depth + pipeline-depth headliners
+      "tpch_q1", "tpch_q8", "tpch_q13", "tpch_q21",
+      "llm_chunk_stride", "llm_rank_fusion", "llm_mix_resample",
+      "llm_contamination_rate", "win_pareto_decile")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
