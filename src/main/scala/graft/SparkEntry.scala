@@ -29,7 +29,7 @@ object SparkEntry {
       StatSurfaceQueries.queries ++ DepthQueries.queries ++
       CorpusHealthQueries.queries ++ BehaviorQueries.queries ++
       Round3Queries.queries ++ TpchDeepQueries.queries ++
-      PipelineDepthQueries.queries
+      PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +44,5 @@ object SparkEntry {
       StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
       CorpusHealthQueries.oracles ++ BehaviorQueries.oracles ++
       Round3Queries.oracles ++ TpchDeepQueries.oracles ++
-      PipelineDepthQueries.oracles
+      PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles
 }

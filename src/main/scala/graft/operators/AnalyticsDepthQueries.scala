@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.QueryUtils.QFn
+import graft.sources.Tables
+
+/** §2.N — round-3 analytics-depth additions.
+  *
+  * Shapes the earlier letters don't cover: an order-statistic over a
+  * moving frame (`win_rolling_median`), first-order sequence modelling
+  * (`agg_markov_transitions`), a classical independence test
+  * (`agg_chi2_independence`), a correlated aggregate subquery
+  * (`sub_correlated_agg`), the dedup-graph health histogram
+  * (`llm_dedup_degree`), regex span extraction with positions
+  * (`llm_span_extract`), the line-oriented text source
+  * (`source_text_lines`), and lag-based relative change
+  * (`win_pct_change`).
+  *
+  * Determinism notes: the rolling median picks an EXISTING value from
+  * a sorted frame (no interpolation — and the oracle replays the same
+  * sorted-list indexing rather than trusting quantile conventions);
+  * the chi-square statistic quantizes each cell's (o−e)²/e term to
+  * decimal(18,8) before the cross-cell sum (a plain double sum over
+  * 100 cells is partial-order dependent); percent change divides two
+  * stored doubles once.
+  */
+object AnalyticsDepthQueries {
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- rolling discrete median over a 5-row frame ---------------------
+    // Median of the last 5 values per user in time order — the
+    // robust-smoothing window. Spark has no ORDER-STATISTIC window
+    // aggregate, so the frame is collected (bounded: 5 rows), sorted,
+    // and indexed at ceil(n/2) — the scalable shape for small fixed
+    // frames (state is O(frame), not O(partition)).
+    "win_rolling_median" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-4, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          array_sort(collect_list(col("value")).over(w)).as("fr"))
+        .select(col("event_id"), col("user_id"),
+          element_at(col("fr"), ((size(col("fr")) + 1) / 2).cast("int"))
+            .as("median5"))
+        .orderBy("event_id")
+    }),
+
+    // ---- lag-based percent change ---------------------------------------
+    // Relative change of each event's value vs the user's previous
+    // event — one lag window on the (user, time) clustering the data
+    // already has; first event per user stays NULL.
+    "win_pct_change" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev"))
+        .select(col("event_id"), col("user_id"),
+          round((col("value") - col("prev")) / nullif(col("prev"), lit(0.0)), 6)
+            .as("pct_change"))
+        .orderBy("event_id")
+    }),
+
+    // ---- first-order Markov transition matrix ---------------------------
+    // P(next event type | current) per user sequence: one lag window,
+    // one keyed count, one per-prev total join — the session-model
+    // building block. All integer counts; the probability is a single
+    // division rounded at the edge.
+    "agg_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val pairs = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"),
+          col("ts"), col("event_id"))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type").as("pt"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), col("prev_type") === col("pt"))
+        .select(col("prev_type"), col("event_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p"))
+        .orderBy("prev_type", "event_type")
+    }),
+
+    // ---- chi-square independence of lang × source -----------------------
+    // Is document language independent of its source? Contingency
+    // counts, expected = row·col/n (exact integer products under
+    // 2^53), per-cell term (o−e)²/e in double, then quantized to
+    // decimal(18,8) so the cross-cell sum is order-free. One shuffle
+    // for the cells; totals broadcast.
+    "agg_chi2_independence" -> ((s, dir) => {
+      val cells = Tables.documents(s, dir)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy(col("lang").as("l2"))
+        .agg(sum(col("o")).as("rl"))
+      val colT = cells.groupBy(col("source").as("s2"))
+        .agg(sum(col("o")).as("cs"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val term = cells
+        .join(broadcast(rowT), col("lang") === col("l2"))
+        .join(broadcast(colT), col("source") === col("s2"))
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"),
+          ((col("o") - col("rl") * col("cs") / col("n"))
+            * (col("o") - col("rl") * col("cs") / col("n"))
+            / (col("rl") * col("cs") / col("n"))).as("t"))
+      term.agg(count(lit(1)).as("n_cells"),
+        round(sum(col("t").cast(DecimalType(18, 8))).cast(DoubleType), 4)
+          .as("chi2"),
+        ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1))
+          .as("dof"))
+    }),
+
+    // ---- correlated aggregate subquery ----------------------------------
+    // Each customer's orders priced above that customer's own average
+    // order value. The correlated scalar (per-customer average) is a
+    // keyed aggregation joined back — the decorrelated plan every
+    // engine wants; the average goes through the exact decimal sum.
+    "sub_correlated_agg" -> ((s, dir) => {
+      val ord = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
+      val avgPer = ord.groupBy(col("o_custkey").as("ck"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType) / count(lit(1))).as("avg_val"))
+      ord.join(avgPer, col("o_custkey") === col("ck"))
+        .where(col("o_totalprice") > col("avg_val"))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_above"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_above"))
+        .orderBy("o_custkey")
+    }),
+
+    // ---- dedup-graph degree histogram -----------------------------------
+    // Degree distribution of the near-dup (simhash) pair graph — the
+    // dedup-health report that catches pathological hub documents
+    // (boilerplate that pairs with everything) before clustering.
+    // Composes the shipped pair pipeline: one union, one count per
+    // doc, one histogram.
+    "llm_dedup_degree" -> ((s, dir) => {
+      val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val deg = pairs.select(col("doc_a").as("d"))
+        .union(pairs.select(col("doc_b").as("d")))
+        .groupBy("d").agg(count(lit(1)).as("degree"))
+      deg.groupBy("degree").agg(count(lit(1)).as("n_docs"))
+        .orderBy("degree")
+    }),
+
+    // ---- regex span extraction with positions ---------------------------
+    // All s-initial tokens per document with their match ordinal —
+    // the span-annotation shape (PII tagging, term mining) as a
+    // map-only regexp_extract_all + posexplode; no shuffle before the
+    // declared sort.
+    "llm_span_extract" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(regexp_extract_all(col("text"), lit("\\bs[a-z]+"), lit(0)))
+            .as(Seq("pos", "span")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("span"))
+        .orderBy("doc_id", "pos")
+    }),
+
+    // ---- line-oriented text source round trip ---------------------------
+    // Documents written as raw text lines and read back with
+    // spark.read.text — the lowest-common-denominator corpus format
+    // (one doc per line; the corpus is single-line by construction).
+    // Splittable on read; the aggregate proves content survived.
+    "source_text_lines" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_textlines_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Tables.documents(s, dir).select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("total_chars"),
+          countDistinct(col("value")).as("n_distinct"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // the oracle replays the same sorted-frame indexing (list window +
+    // explicit ceil(n/2) subscript) instead of trusting an engine's
+    // quantile position convention
+    "win_rolling_median" ->
+      """WITH f AS (SELECT event_id, user_id,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  list_sort(fr)[CAST((len(fr) + 1) // 2 AS INT)] AS median5
+        |FROM f ORDER BY event_id""".stripMargin,
+
+    "win_pct_change" ->
+      """WITH l AS (SELECT event_id, user_id, value,
+        |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  round((value - prev) / nullif(prev, 0.0), 6) AS pct_change
+        |FROM l ORDER BY event_id""".stripMargin,
+
+    "agg_markov_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |p AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT prev_type, sum(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.prev_type, p.event_type, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM p JOIN t ON p.prev_type = t.prev_type
+        |ORDER BY p.prev_type, p.event_type""".stripMargin,
+
+    "agg_chi2_independence" ->
+      """WITH c AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, sum(o) AS rl FROM c GROUP BY 1),
+        |s AS (SELECT source, sum(o) AS cs FROM c GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |term AS (SELECT lang, source,
+        |    (o - rl * cs / n) * (o - rl * cs / n) / (rl * cs / n) AS t
+        |  FROM c JOIN r USING (lang) JOIN s USING (source), n)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  round(CAST(sum(CAST(t AS DECIMAL(18,8))) AS DOUBLE), 4) AS chi2,
+        |  CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+        |    AS BIGINT) AS dof
+        |FROM term""".stripMargin,
+
+    "sub_correlated_agg" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
+
+    "llm_dedup_degree" -> {
+      s"""WITH simpairs AS (${ScaleQueries.oracles("llm_dedup_simhash")}),
+        |deg AS (SELECT d, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT doc_a AS d FROM simpairs
+        |    UNION ALL SELECT doc_b FROM simpairs) GROUP BY d)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin
+    },
+
+    "llm_span_extract" ->
+      """SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS span
+        |FROM (SELECT doc_id, regexp_extract_all(text, '\bs[a-z]+') AS arr
+        |      FROM documents),
+        |  unnest(generate_series(1, len(arr))) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "source_text_lines" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+        |FROM documents""".stripMargin
+  )
+}

@@ -46,7 +46,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // llm_rank_fusion: broadcast single query vector (as llm_simsearch);
     // llm_contamination_rate: two 1-row counters cross-joined into the
     // summary row (as agg_funnel)
-    "llm_rank_fusion", "llm_contamination_rate")
+    "llm_rank_fusion", "llm_contamination_rate",
+    // agg_chi2_independence: the 1-row corpus total crossed into the
+    // contingency cells
+    "agg_chi2_independence")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
