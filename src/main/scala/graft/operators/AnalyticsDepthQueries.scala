@@ -61,7 +61,12 @@ object AnalyticsDepthQueries {
         .select(col("event_id"), col("user_id"), col("value"),
           lag(col("value"), 1).over(w).as("prev"))
         .select(col("event_id"), col("user_id"),
-          round((col("value") - col("prev")) / nullif(col("prev"), lit(0.0)), 6)
+          // raw quotient, deliberately unrounded: a single division of
+          // two stored doubles is bit-identical across engines, while
+          // round(x, 6) can straddle a half boundary differently
+          // (DuckDB rounds the 1e6-scaled double, Spark the exact
+          // binary expansion — diverged on 1 row in 60k at sf0.1)
+          ((col("value") - col("prev")) / nullif(col("prev"), lit(0.0)))
             .as("pct_change"))
         .orderBy("event_id")
     }),
@@ -203,7 +208,7 @@ object AnalyticsDepthQueries {
         |    lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         |  FROM events)
         |SELECT event_id, user_id,
-        |  round((value - prev) / nullif(prev, 0.0), 6) AS pct_change
+        |  (value - prev) / nullif(prev, 0.0) AS pct_change
         |FROM l ORDER BY event_id""".stripMargin,
 
     "agg_markov_transitions" ->
