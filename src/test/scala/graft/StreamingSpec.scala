@@ -122,4 +122,61 @@ class StreamingSpec extends AnyFunSuite {
       assert(byBatch.contains((2L, 1L, 1.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the time bound only") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    // watermarked both sides + event-time range condition — the state
+    // cleanup contract of stream-stream joins (SPARK docs: both
+    // watermark AND time-range needed for state eviction)
+    val c = clicks.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val b = buys.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("amount"))
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(ts("2024-01-01 10:00:00"), 1, 0.0),
+        Ev(ts("2024-01-01 10:00:00"), 2, 0.0))
+      buys.addData(
+        Ev(ts("2024-01-01 10:30:00"), 1, 9.99), // inside 1 h → joins
+        Ev(ts("2024-01-01 12:30:00"), 2, 5.00)) // outside 1 h → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(4)))
+      assert(rows.toSeq == Seq((1L, 9.99)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink sees each micro-batch exactly once with its id") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    // foreachBatch: the escape hatch for sinks Spark lacks (JDBC
+    // upserts, multi-table writes). batchId is the idempotency key a
+    // real sink would use for exactly-once.
+    val q = ms.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        seen.synchronized { seen += ((batchId, df.count())) }
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:00:00"), 1, 1.0),
+        Ev(ts("2024-01-01 10:01:00"), 2, 2.0))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:02:00"), 3, 3.0))
+      q.processAllAvailable()
+      val nonEmpty = seen.synchronized(seen.filter(_._2 > 0).toList)
+      assert(nonEmpty.map(_._2) == List(2L, 1L), s"got $nonEmpty")
+      // batch ids strictly increase — the idempotent-replay contract
+      assert(nonEmpty.map(_._1) == nonEmpty.map(_._1).sorted)
+    } finally q.stop()
+  }
 }
