@@ -39,6 +39,36 @@ object PipelineDepthQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Chunk table from a documents frame — THE llm_chunk_stride body,
+    * factored so ScaleDryRun replays the shipped pipeline (not a copy)
+    * at k× volume. */
+  def chunkTable(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+      .withColumn("start",
+        explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(40))))
+      .select(col("doc_id"),
+        ((col("start") - lit(1)) / lit(40)).cast("int").as("chunk_idx"),
+        slice(col("tk"), col("start"), lit(50)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+
+  /** Contaminated benchmark doc_ids from a documents frame — THE
+    * llm_contamination_rate hit set, factored for ScaleDryRun. */
+  def contaminationHits(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grams = docs.select(col("doc_id"), toks.as("tk"))
+      .withColumn("n", size(col("tk")))
+      .where(col("n") >= 5)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), col("n") - lit(4)),
+          i => md5(array_join(slice(col("tk"), i, lit(5)), " ")))).as("g"))
+    val train = grams.where(col("doc_id") % 97 =!= 0).select(col("g")).distinct()
+    grams.where(col("doc_id") % 97 === 0)
+      .join(train, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // ---- context-window chunking with stride ----------------------------
@@ -48,20 +78,8 @@ object PipelineDepthQueries {
     // explode per doc of ceil(n/40) chunk starts, no shuffle until the
     // presentation sort; at 100 TB this runs as a pure map stage and
     // the chunk table inherits the corpus partitioning.
-    "llm_chunk_stride" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("tk"))
-        .withColumn("n", size(col("tk")))
-        .withColumn("start",
-          explode(sequence(lit(1), greatest(col("n"), lit(1)), lit(40))))
-        .select(col("doc_id"),
-          ((col("start") - lit(1)) / lit(40)).cast("int").as("chunk_idx"),
-          slice(col("tk"), col("start"), lit(50)).as("chunk"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("chunk")).cast("long").as("n_tok"),
-          array_join(col("chunk"), " ").as("chunk_text"))
-        .orderBy("doc_id", "chunk_idx")
-    }),
+    "llm_chunk_stride" -> ((s, dir) =>
+      chunkTable(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
 
     // ---- hybrid-retrieval rank fusion (RRF) -----------------------------
     // Reciprocal-rank fusion of two top-100 retrieval lists for one
@@ -187,18 +205,7 @@ object PipelineDepthQueries {
     // and the join shuffles on the 16-byte gram key; benchmark side is
     // tiny by construction.
     "llm_contamination_rate" -> ((s, dir) => {
-      val grams = Tables.documents(s, dir)
-        .select(col("doc_id"), toks.as("tk"))
-        .withColumn("n", size(col("tk")))
-        .where(col("n") >= 5) // gramless docs can't hit; bench count is separate
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), col("n") - lit(4)),
-            i => md5(array_join(slice(col("tk"), i, lit(5)), " ")))).as("g"))
-      val bench = grams.where(col("doc_id") % 97 === 0)
-      val train = grams.where(col("doc_id") % 97 =!= 0)
-        .select(col("g")).distinct()
-      val hit = bench.join(train, Seq("g"), "left_semi")
-        .select(col("doc_id")).distinct()
+      val hit = contaminationHits(Tables.documents(s, dir))
       val nBench = Tables.documents(s, dir)
         .where(col("doc_id") % 97 === 0)
         .agg(count(lit(1)).as("n_bench"))

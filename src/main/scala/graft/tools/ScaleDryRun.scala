@@ -90,14 +90,37 @@ object ScaleDryRun {
         .groupBy("doc_id").agg(count(lit(1))).count()
     }
 
-    q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1) // JIT warm-up
+    // context-window chunking at k× the corpus: map-only explode, must
+    // track scan speed exactly (the shipped chunkTable, not a copy)
+    def chunkShape(k: Int): Long = {
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i))
+        .reduce(_ unionAll _)
+      graft.operators.PipelineDepthQueries.chunkTable(d)
+        .groupBy("doc_id").count().count()
+    }
+
+    // contamination gate at k× the corpus: gram volume grows linearly,
+    // the distinct train-gram set sub-linearly (replicas share grams) —
+    // the semi-join must stay gram-linear
+    def contamShape(k: Int): Long = {
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i))
+        .reduce(_ unionAll _)
+      graft.operators.PipelineDepthQueries.contaminationHits(d).count()
+    }
+
+    q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
+    chunkShape(1); contamShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
       val t3 = time(dedupShape(k))
       val t4 = time(packShape(k))
       val t5 = time(bigramShape(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s")
+      val t6 = time(chunkShape(k))
+      val t7 = time(contamShape(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s")
     }
     spark.stop()
   }
