@@ -29,7 +29,8 @@ object SparkEntry {
       StatSurfaceQueries.queries ++ DepthQueries.queries ++
       CorpusHealthQueries.queries ++ BehaviorQueries.queries ++
       Round3Queries.queries ++ TpchDeepQueries.queries ++
-      PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries
+      PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries ++
+      EvalDepthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       StatSurfaceQueries.oracles ++ DepthQueries.oracles ++
       CorpusHealthQueries.oracles ++ BehaviorQueries.oracles ++
       Round3Queries.oracles ++ TpchDeepQueries.oracles ++
-      PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles
+      PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles ++
+      EvalDepthQueries.oracles
 }

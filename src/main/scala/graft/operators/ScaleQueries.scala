@@ -93,6 +93,18 @@ object ScaleQueries {
     */
   def minhashLshPairs(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (cand, sh, _) = minhashParts(s, docs)
+    verifyJaccard06(cand, sh)
+  }
+
+  /** The banding pipeline's reusable intermediates — (cand, sh, mh):
+    * candidate pairs, shingle sets, 16-component MinHash signatures.
+    * Shared by llm_dedup_minhash_lsh and llm_minhash_jaccard_est (the
+    * estimator-error eval needs the raw signatures). */
+  def minhashParts(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     val sh = docs
       .select(col("doc_id"), mkShingles(col("text")).as("sh"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -115,7 +127,7 @@ object ScaleQueries {
         Seq("band", "sig"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    verifyJaccard06(cand, sh)
+    (cand, sh, mh)
   }
 
   val queries: Map[String, QFn] = Map(
@@ -380,7 +392,10 @@ object ScaleQueries {
 
   private val shingleCte = duckShingleCte
 
-  private val minhashOracle =
+  /** CTE chain through MinHash signatures, bands, candidates and the
+    * unthresholded exact-Jaccard verification `v` — shared by the
+    * llm_dedup_minhash_lsh oracle and llm_minhash_jaccard_est. */
+  private[operators] val minhashCteChain =
     shingleCte +
       """,
         |ex AS (SELECT doc_id, unnest(sh) s1 FROM s),
@@ -396,7 +411,11 @@ object ScaleQueries {
         |v AS (SELECT a_id, b_id,
         |        len(list_intersect(sa.sh, sb.sh)) inter,
         |        len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) uni
-        |      FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+        |      FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)""".stripMargin
+
+  private val minhashOracle =
+    minhashCteChain +
+      """
         |SELECT a_id AS doc_a, b_id AS doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM v WHERE inter * 10 >= uni * 6 ORDER BY doc_a, doc_b""".stripMargin
 

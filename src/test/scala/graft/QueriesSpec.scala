@@ -38,7 +38,8 @@ class QueriesSpec extends AnyFunSuite {
       StatSurfaceQueries.queries, DepthQueries.queries,
       CorpusHealthQueries.queries, BehaviorQueries.queries,
       Round3Queries.queries, TpchDeepQueries.queries,
-      PipelineDepthQueries.queries, AnalyticsDepthQueries.queries)
+      PipelineDepthQueries.queries, AnalyticsDepthQueries.queries,
+      EvalDepthQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
