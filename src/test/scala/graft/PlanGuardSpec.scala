@@ -49,7 +49,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_rank_fusion", "llm_contamination_rate",
     // agg_chi2_independence: the 1-row corpus total crossed into the
     // contingency cells
-    "agg_chi2_independence")
+    "agg_chi2_independence",
+    // llm_entity_cooccur: the 1-row doc-count scalar crossed into the
+    // constant-bounded pair table
+    "llm_entity_cooccur")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
