@@ -23,6 +23,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.sortedIntersectDescriptor)
     e.injectFunction(GraftFunctions.shinglesDescriptor)
     e.injectFunction(GraftFunctions.charGramsDescriptor)
+    // isnotnull(kernel(x)) → isnotnull(x): keeps inferred constraints
+    // from re-evaluating the text kernels inside parquet scan filters
+    e.injectOptimizerRule(_ => KernelNullRule)
   }
 }
 

@@ -32,6 +32,23 @@ class ExtensionsAndStreamOpsSpec extends AnyFunSuite {
     assert(shShort.isEmpty) // empty tokens dropped -> under 3 tokens
   }
 
+  test("KernelNullRule reduces kernel null checks to input null checks") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.plans.KernelNullRule
+    try {
+      val df = graft.sources.Tables.documents(spark, sf0001)
+        .where(graft.functions.TextShingles.mkShingles(col("text")).isNotNull)
+        .select(col("doc_id"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.toLowerCase.contains("shinglearray"),
+        s"kernel survived in the optimized filter:\n$opt")
+      // semantics unchanged: the kernel never returns null for a
+      // non-null input, so the rewrite keeps exactly the same rows
+      assert(df.count() == graft.sources.Tables.documents(spark, sf0001)
+        .where(col("text").isNotNull).count())
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   // the parquet file source streams a directory of log files; stage the
   // single test file into one
   private lazy val eventsLogDir: String = {
