@@ -27,7 +27,10 @@ object PlanAudit {
       // round-3 batch 2/3: TPC-H depth + pipeline-depth headliners
       "tpch_q1", "tpch_q8", "tpch_q13", "tpch_q21",
       "llm_chunk_stride", "llm_rank_fusion", "llm_mix_resample",
-      "llm_contamination_rate", "win_pareto_decile")
+      "llm_contamination_rate", "win_pareto_decile",
+      // round-3 batch 4/5: estimator evals, series repair, variant
+      "llm_minhash_jaccard_est", "win_gap_fill_interp", "fn_variant",
+      "llm_entity_cooccur", "sub_correlated_agg")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
