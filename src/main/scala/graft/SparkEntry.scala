@@ -30,7 +30,8 @@ object SparkEntry {
       CorpusHealthQueries.queries ++ BehaviorQueries.queries ++
       Round3Queries.queries ++ TpchDeepQueries.queries ++
       PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries ++
-      EvalDepthQueries.queries ++ ModernSurfaceQueries.queries
+      EvalDepthQueries.queries ++ ModernSurfaceQueries.queries ++
+      GraphEvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       CorpusHealthQueries.oracles ++ BehaviorQueries.oracles ++
       Round3Queries.oracles ++ TpchDeepQueries.oracles ++
       PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles ++
-      EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles
+      EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles ++
+      GraphEvalQueries.oracles
 }

@@ -1,0 +1,214 @@
+package graft.operators
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.QueryUtils.QFn
+import graft.sources.Tables
+
+/** Exact online-variance buffer: count + scaled-integer Σx, Σx² (x in
+  * 1e-2 units, so x² lands in 1e-4 units). Partial merges are integer
+  * adds — order-free and overflow-safe (|Σx²·1e4| < 2^63 up to ~10^9
+  * rows of |x| ≤ 10^4) — so the finished sample variance is
+  * bit-identical to the oracle's replay of the same formula no matter
+  * how Spark splits the partials. The textbook Welford merge keeps
+  * running doubles and is partial-order DEPENDENT — unusable under a
+  * typed cross-engine hash gate.
+  */
+case class VarBuf(n: Long, sx: Long, sxx: Long)
+
+object OnlineVarianceAgg extends Aggregator[Double, VarBuf, Double] {
+  override def zero: VarBuf = VarBuf(0L, 0L, 0L)
+  override def reduce(b: VarBuf, x: Double): VarBuf = {
+    val xs = Math.round(x * 100.0)
+    VarBuf(b.n + 1, b.sx + xs, b.sxx + xs * xs)
+  }
+  override def merge(a: VarBuf, b: VarBuf): VarBuf =
+    VarBuf(a.n + b.n, a.sx + b.sx, a.sxx + b.sxx)
+  override def finish(r: VarBuf): Double =
+    if (r.n < 2) Double.NaN
+    else (r.n * r.sxx - r.sx * r.sx).toDouble / (10000.0 * r.n * (r.n - 1))
+  override def bufferEncoder: Encoder[VarBuf] = Encoders.product[VarBuf]
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** §2.N — round-3 graph / evaluation / crypto / UDAF additions.
+  *
+  * `graph_bfs_hops` is the recursive-query capability (bounded BFS
+  * over the near-dup graph, DuckDB replaying via WITH RECURSIVE);
+  * `llm_dedup_pr` closes the dedup-eval triangle (precision AND recall
+  * of the simhash index vs the exact Jaccard truth set);
+  * `udaf_online_variance` is a custom typed Aggregator with an
+  * integer-exact merge; `fn_crypto_roundtrip` proves the AES
+  * at-rest path on deterministic outputs only (GCM ciphertexts are
+  * IV-random; length and roundtrip equality are not);
+  * `gen_explode_map` completes the generator family over map columns.
+  */
+object GraphEvalQueries {
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- bounded BFS over the near-dup graph ----------------------------
+    // Hop distance (≤ 6) from the seed slice (doc_id % 50 = 0) through
+    // simhash near-dup edges — the recursive-traversal shape (impact
+    // radius of a curation decision). Each round is one equi-join +
+    // one min-aggregation over the frontier, eagerly checkpointed —
+    // the same skeleton as label propagation; rounds are FIXED (6), so
+    // the plan is statically bounded. Unreached nodes drop out.
+    "graph_bfs_hops" -> ((s, dir) => {
+      val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val edges = graft.tools.PlanCapture.stage("bfs.edges",
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .localCheckpoint(true)
+      var dist = graft.tools.PlanCapture.stage("bfs.d0",
+        edges.select(col("src").as("node")).distinct()
+          .where(col("node") % 50 === 0)
+          .withColumn("d", lit(0L))).localCheckpoint(true)
+      for (hop <- 1 to 6) {
+        val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("d") + 1).as("d"))
+        dist = graft.tools.PlanCapture.stage(s"bfs.d$hop",
+          dist.union(nxt).groupBy("node").agg(min("d").as("d")))
+          .localCheckpoint(true)
+      }
+      dist.select(col("node").as("doc_id"), col("d").as("hops"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- simhash index precision/recall vs exact truth ------------------
+    // The dedup-eval triangle's missing side: llm_dedup_lsh_recall
+    // measures the MinHash index's recall; this measures the simhash
+    // index's precision AND recall against the exact PPJoin ≥0.6
+    // truth set. Both pair lists are checkpointed outputs of shipped
+    // pipelines; the comparison is one full outer join.
+    "llm_dedup_pr" -> ((s, dir) => {
+      val truth = LlmQueries.queries("llm_dedup_near")(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      val pred = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+      val j = truth.join(pred, Seq("doc_a", "doc_b"), "outer")
+      j.agg(
+        count_if(col("t").isNotNull && col("p").isNotNull).as("tp"),
+        count_if(col("t").isNull && col("p").isNotNull).as("fp"),
+        count_if(col("t").isNotNull && col("p").isNull).as("fn"))
+        .select(col("tp"), col("fp"), col("fn"),
+          round(col("tp").cast("double") / (col("tp") + col("fp")), 6)
+            .as("precision"),
+          round(col("tp").cast("double") / (col("tp") + col("fn")), 6)
+            .as("recall"))
+    }),
+
+    // ---- custom typed Aggregator: order-free online variance ------------
+    // Sample variance of event values per type through the
+    // integer-exact (n, Σx, Σx²) buffer — the UDAF shape for one-pass
+    // streaming stats, provably identical under any partial split.
+    "udaf_online_variance" -> ((s, dir) => {
+      val ovar = udaf(OnlineVarianceAgg)
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(ovar(col("value")).as("var_online"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // ---- AES encrypt/decrypt round trip ---------------------------------
+    // The at-rest crypto path: GCM ciphertexts embed a random IV, so
+    // only deterministic facts ship — roundtrip equality, ciphertext
+    // length (n_bytes + 12 IV + 16 tag), and the plaintext digest.
+    "fn_crypto_roundtrip" -> ((s, dir) => {
+      val key = lit("0123456789abcdef")
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          aes_encrypt(col("text").cast("binary"), key).as("c"),
+          col("text"))
+        .select(col("doc_id"),
+          (aes_decrypt(col("c"), key).cast("string") === col("text"))
+            .as("roundtrip_ok"),
+          length(col("c")).cast("long").as("cipher_len"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- map-column generator -------------------------------------------
+    // explode over a MAP column (key/value rows) — the generator
+    // family's map side (fn_map builds maps; this un-builds them).
+    "gen_explode_map" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(map(
+            lit("chars"), col("n_chars"),
+            lit("chars2x"), col("n_chars") * 2)).as(Seq("k", "v")))
+        .orderBy("doc_id", "k")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "graph_bfs_hops" -> {
+      val pairBody = ScaleQueries.oracles("llm_dedup_simhash")
+      s"""WITH RECURSIVE simpairs AS ($pairBody),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM simpairs
+        |  UNION ALL SELECT doc_b, doc_a FROM simpairs),
+        |walk(node, d) AS (
+        |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d
+        |    FROM edges WHERE src % 50 = 0
+        |  UNION
+        |  SELECT e.dst, w.d + 1 FROM walk w JOIN edges e ON e.src = w.node
+        |    WHERE w.d < 6)
+        |SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
+        |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+    },
+
+    "llm_dedup_pr" -> {
+      s"""WITH truth AS (SELECT doc_a, doc_b
+        |    FROM (${LlmQueries.oracles("llm_dedup_near")})),
+        |pred AS (SELECT doc_a, doc_b
+        |    FROM (${ScaleQueries.oracles("llm_dedup_simhash")})),
+        |j AS (SELECT coalesce(t.doc_a, p.doc_a) a,
+        |    t.doc_a IS NOT NULL AS in_t, p.doc_a IS NOT NULL AS in_p
+        |  FROM truth t FULL OUTER JOIN pred p
+        |    ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+        |SELECT CAST(count(*) FILTER (in_t AND in_p) AS BIGINT) AS tp,
+        |  CAST(count(*) FILTER (NOT in_t AND in_p) AS BIGINT) AS fp,
+        |  CAST(count(*) FILTER (in_t AND NOT in_p) AS BIGINT) AS fn,
+        |  round(CAST(count(*) FILTER (in_t AND in_p) AS DOUBLE)
+        |    / (count(*) FILTER (in_t AND in_p) + count(*) FILTER (NOT in_t AND in_p)), 6)
+        |    AS precision,
+        |  round(CAST(count(*) FILTER (in_t AND in_p) AS DOUBLE)
+        |    / (count(*) FILTER (in_t AND in_p) + count(*) FILTER (in_t AND NOT in_p)), 6)
+        |    AS recall
+        |FROM j""".stripMargin
+    },
+
+    // the oracle replays the scaled-integer formula, not var_samp —
+    // the contract is the Aggregator's exact arithmetic
+    "udaf_online_variance" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) / (10000.0 * n * (n - 1))
+        |    AS var_online,
+        |  n
+        |FROM s ORDER BY event_type""".stripMargin,
+
+    "fn_crypto_roundtrip" ->
+      """SELECT doc_id, true AS roundtrip_ok,
+        |  CAST(strlen(text) + 28 AS BIGINT) AS cipher_len,
+        |  md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "gen_explode_map" ->
+      """SELECT doc_id, k, v FROM (
+        |  SELECT doc_id, 'chars' AS k, n_chars AS v FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'chars2x', n_chars * 2 FROM documents)
+        |ORDER BY doc_id, k""".stripMargin
+  )
+}

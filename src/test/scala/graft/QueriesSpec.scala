@@ -39,7 +39,8 @@ class QueriesSpec extends AnyFunSuite {
       CorpusHealthQueries.queries, BehaviorQueries.queries,
       Round3Queries.queries, TpchDeepQueries.queries,
       PipelineDepthQueries.queries, AnalyticsDepthQueries.queries,
-      EvalDepthQueries.queries, ModernSurfaceQueries.queries)
+      EvalDepthQueries.queries, ModernSurfaceQueries.queries,
+      GraphEvalQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
