@@ -31,7 +31,7 @@ object SparkEntry {
       Round3Queries.queries ++ TpchDeepQueries.queries ++
       PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries ++
       EvalDepthQueries.queries ++ ModernSurfaceQueries.queries ++
-      GraphEvalQueries.queries
+      GraphEvalQueries.queries ++ GraphStatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +48,5 @@ object SparkEntry {
       Round3Queries.oracles ++ TpchDeepQueries.oracles ++
       PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles ++
       EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles ++
-      GraphEvalQueries.oracles
+      GraphEvalQueries.oracles ++ GraphStatsQueries.oracles
 }

@@ -40,7 +40,7 @@ class QueriesSpec extends AnyFunSuite {
       Round3Queries.queries, TpchDeepQueries.queries,
       PipelineDepthQueries.queries, AnalyticsDepthQueries.queries,
       EvalDepthQueries.queries, ModernSurfaceQueries.queries,
-      GraphEvalQueries.queries)
+      GraphEvalQueries.queries, GraphStatsQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
