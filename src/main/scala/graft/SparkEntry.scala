@@ -31,7 +31,8 @@ object SparkEntry {
       Round3Queries.queries ++ TpchDeepQueries.queries ++
       PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries ++
       EvalDepthQueries.queries ++ ModernSurfaceQueries.queries ++
-      GraphEvalQueries.queries ++ GraphStatsQueries.queries
+      GraphEvalQueries.queries ++ GraphStatsQueries.queries ++
+      FinalDepthQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       Round3Queries.oracles ++ TpchDeepQueries.oracles ++
       PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles ++
       EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles ++
-      GraphEvalQueries.oracles ++ GraphStatsQueries.oracles
+      GraphEvalQueries.oracles ++ GraphStatsQueries.oracles ++
+      FinalDepthQueries.oracles
 }

@@ -52,7 +52,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_chi2_independence",
     // llm_entity_cooccur: the 1-row doc-count scalar crossed into the
     // constant-bounded pair table
-    "llm_entity_cooccur")
+    "llm_entity_cooccur",
+    // llm_unigram_logprob / llm_mi_lang_source: 1-row corpus-total
+    // scalar broadcast into the token / cell tables (as llm_bm25)
+    "llm_unigram_logprob", "llm_mi_lang_source")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp

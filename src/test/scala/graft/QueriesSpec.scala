@@ -40,7 +40,8 @@ class QueriesSpec extends AnyFunSuite {
       Round3Queries.queries, TpchDeepQueries.queries,
       PipelineDepthQueries.queries, AnalyticsDepthQueries.queries,
       EvalDepthQueries.queries, ModernSurfaceQueries.queries,
-      GraphEvalQueries.queries, GraphStatsQueries.queries)
+      GraphEvalQueries.queries, GraphStatsQueries.queries,
+      FinalDepthQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
