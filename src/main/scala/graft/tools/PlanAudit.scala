@@ -30,7 +30,10 @@ object PlanAudit {
       "llm_contamination_rate", "win_pareto_decile",
       // round-3 batch 4/5: estimator evals, series repair, variant
       "llm_minhash_jaccard_est", "win_gap_fill_interp", "fn_variant",
-      "llm_entity_cooccur", "sub_correlated_agg")
+      "llm_entity_cooccur", "sub_correlated_agg",
+      // closing batch: last TPC-H, NAAJ, banded edit-distance dedup,
+      // unigram LM scoring
+      "tpch_q15", "sub_not_in", "llm_dedup_editdist", "llm_unigram_logprob")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
