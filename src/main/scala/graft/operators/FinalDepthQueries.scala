@@ -216,6 +216,87 @@ object FinalDepthQueries {
         .where(col("dist") <= 8)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // ---- watermark late-data drop, replayed at microbatch granularity ---
+    // Structured Streaming's watermark contract, modeled exactly: each
+    // event ARRIVES at event-time + a deterministic md5-derived network
+    // delay (0–30 min — the corpus itself is time-ordered, so without
+    // modeled jitter nothing is ever late); arrivals group into 5-min
+    // microbatches; after each batch the watermark advances to
+    // max(event-time seen) − 10 min, and an event is DROPPED iff its
+    // event time is below the watermark its batch started with (the max
+    // over STRICTLY EARLIER batches). Per tumbling hour and type:
+    // survivors, drops, kept sum. The only unpartitioned window runs
+    // over the per-batch max table — #microbatches rows, exactly the
+    // cardinality the real streaming driver tracks.
+    "stream_late_drop" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("jit", graft.QueryUtils.hash60(col("event_id").cast("string")) % 1800)
+        .withColumn("arr", expr("timestampadd(SECOND, jit, ts)"))
+        .withColumn("batch", // UTC session; ntz→ltz cast is offset-free
+          expr("unix_micros(cast(arr as timestamp_ltz)) div 300000000"))
+      val bm = ev.groupBy("batch").agg(max("ts").as("mt"))
+      val wb = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = bm
+        .withColumn("wmk", max("mt").over(wb) - expr("INTERVAL 10 MINUTES"))
+        .select("batch", "wmk")
+      ev.join(broadcast(wm), "batch")
+        .withColumn("late", col("wmk").isNotNull && col("ts") < col("wmk"))
+        .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+        .agg(count_if(!col("late")).as("n_kept"),
+          count_if(col("late")).as("n_late"),
+          sum(when(!col("late"), col("value")).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("kept_sum"))
+        .orderBy("ws", "event_type")
+    }),
+
+    // ---- ANN recall@10: 3-probe IVF vs exact slice ----------------------
+    // The standard ANN eval beside recall@1: for the deterministic
+    // 256-vector slice, exact cosine top-10 (corpus × broadcast slice —
+    // pair volume bounded by 256·n, the broadcast side constant) vs the
+    // index's top-10 probing each query's 3 best codebook cells (the
+    // llm_ann_multiprobe regime). recall@10 = |exact∩probed| / |exact|.
+    "llm_ann_recall10" -> ((s, dir) => {
+      import graft.functions.AnnCodebook
+      import graft.functions.VectorFunctions.vecDot
+      val (e, cent) = AnnCodebook.indexed(s, dir)
+      val sample = AnnCodebook.hashSample(e, 256)
+      val aS = e.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_v"), col("nrm").as("a_n"))
+        .join(broadcast(sample), Seq("a_id"))
+      def top10(pairs: DataFrame): DataFrame = pairs
+        .withColumn("rk", row_number().over(Window.partitionBy("a_id")
+          .orderBy(col("cos_sim").desc, col("b_id").asc)))
+        .where(col("rk") <= 10).select("a_id", "b_id")
+      val cos = (vecDot(col("a_v"), col("b_v")) /
+        (col("a_n") * col("b_n"))).as("cos_sim")
+      val ex10 = top10(
+        e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+          col("nrm").as("b_n"))
+          .crossJoin(broadcast(aS))
+          .where(col("a_id") =!= col("b_id"))
+          .select(col("a_id"), col("b_id"), cos))
+      val cn = cent.select(col("cell").as("pcell"), col("csum"))
+      val probes = aS
+        .withColumn("qv", AnnCodebook.quantize(col("a_v")))
+        .crossJoin(broadcast(cn))
+        .withColumn("sc", AnnCodebook.score(col("qv"), col("csum")))
+        .withColumn("rk", row_number().over(Window.partitionBy("a_id")
+          .orderBy(col("sc").desc, col("pcell").asc)))
+        .where(col("rk") <= 3).select("a_id", "pcell")
+      val ann10 = top10(probes.join(aS, "a_id")
+        .join(e.select(col("cell").as("pcell"), col("vec_id").as("b_id"),
+          col("embedding").as("b_v"), col("nrm").as("b_n")), "pcell")
+        .where(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"), cos))
+      ex10.join(ann10.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+        .agg(countDistinct(col("a_id")).as("n_vecs"),
+          count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hits"))
+        .select(col("n_vecs"), col("n_hits"),
+          round(col("n_hits").cast(DoubleType) / col("n_pairs"), 4)
+            .as("recall_at_10"))
     })
   )
 
@@ -324,6 +405,65 @@ object FinalDepthQueries {
         |FROM d a JOIN d b ON a.pfx = b.pfx
         |WHERE a.doc_id < b.doc_id AND abs(a.len - b.len) <= 16
         |  AND levenshtein(a.head, b.head) <= 8
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "stream_late_drop" ->
+      """WITH b AS (SELECT *,
+        |    epoch_us(ts + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1800)
+        |             * INTERVAL 1 SECOND) // 300000000 AS batch
+        |  FROM events),
+        |bm AS (SELECT batch, max(ts) AS mt FROM b GROUP BY batch),
+        |wm AS (SELECT batch,
+        |    max(mt) OVER (ORDER BY batch
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - INTERVAL 10 MINUTE AS wmk
+        |  FROM bm),
+        |e AS (SELECT b.*, (wmk IS NOT NULL AND ts < wmk) AS late
+        |  FROM b JOIN wm USING (batch))
+        |SELECT date_trunc('hour', ts) AS ws, event_type,
+        |  count(*) FILTER (NOT late) AS n_kept,
+        |  count(*) FILTER (late) AS n_late,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (NOT late) AS DOUBLE)
+        |    AS kept_sum
+        |FROM e GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "llm_ann_recall10" -> (
+      s"WITH ${graft.functions.AnnCodebook.oracleCtes}," +
+      s"""
+        |ke AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+        |    kcells.cell AS cell
+        |  FROM embeddings e JOIN kcells ON e.vec_id = kcells.vec_id),
+        |n AS (SELECT vec_id, ev, cell,
+        |    sqrt(list_aggregate(list_transform(ev, x -> x * x), 'sum')) AS nrm
+        |  FROM ke),
+        |ksmp AS (SELECT vec_id AS a_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS rk
+        |    FROM embeddings) WHERE rk <= 256),
+        |asd AS (SELECT a_id, ev AS a_v, nrm AS a_n
+        |  FROM n JOIN ksmp ON n.vec_id = ksmp.a_id),
+        |kqs AS (SELECT a_id, qv FROM kq JOIN ksmp ON kq.vec_id = ksmp.a_id),
+        |kpr AS (SELECT a_id, cell AS pcell FROM (
+        |    SELECT q.a_id, c.cell, row_number() OVER (PARTITION BY q.a_id
+        |      ORDER BY ${graft.functions.AnnCodebook.oracleScore("q.qv", "c.csum")} DESC,
+        |        c.cell ASC) AS rn
+        |    FROM kqs q CROSS JOIN ${graft.functions.AnnCodebook.oracleFinalCent} c)
+        |  WHERE rn <= 3),
+        |p AS (SELECT a.a_id, b.vec_id AS b_id, b.cell AS bcell,
+        |    list_aggregate(list_transform(list_zip(a.a_v, b.ev), z -> z[1] * z[2]), 'sum')
+        |      / (a.a_n * b.nrm) AS cos_sim
+        |  FROM asd a JOIN n b ON b.vec_id <> a.a_id),
+        |ex10 AS (SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+        |      ORDER BY cos_sim DESC, b_id ASC) AS rk FROM p) WHERE rk <= 10),
+        |an10 AS (SELECT a_id, b_id, 1 AS hit FROM (
+        |    SELECT p.a_id, p.b_id, row_number() OVER (PARTITION BY p.a_id
+        |      ORDER BY cos_sim DESC, b_id ASC) AS rk
+        |    FROM p JOIN kpr ON p.a_id = kpr.a_id AND p.bcell = kpr.pcell)
+        |  WHERE rk <= 10)
+        |SELECT CAST(count(DISTINCT a_id) AS BIGINT) AS n_vecs,
+        |  CAST(count(hit) AS BIGINT) AS n_hits,
+        |  round(count(hit) * 1.0 / count(*), 4) AS recall_at_10
+        |FROM ex10 LEFT JOIN an10 USING (a_id, b_id)""".stripMargin)
   )
 }

@@ -36,7 +36,11 @@ class DeterminismSpec extends AnyFunSuite {
       // round-3: packed argmin/argmax key must stay in exact integer
       // arithmetic (ADVICE r2: double-typed key collapsed near-max
       // balances into 256-wide tie buckets)
-      "agg_argminmax")) {
+      "agg_argminmax",
+      // closing batch float-risky shapes: lag-chain smoothing, LM log
+      // sums, MI terms, top-10 cosine rank boundaries
+      "win_weighted_ma", "win_decayed_sum", "llm_unigram_logprob",
+      "llm_mi_lang_source", "llm_ann_recall10")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

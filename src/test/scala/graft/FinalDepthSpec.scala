@@ -104,6 +104,24 @@ class FinalDepthSpec extends AnyFunSuite {
     if (dups > 0) assert(rows.exists(_.getLong(2) == 0L))
   }
 
+  test("stream_late_drop: drops exist and watermark monotonicity holds") {
+    val out = SparkEntry.queries("stream_late_drop")(spark, sf0001).collect()
+    val kept = out.map(_.getLong(2)).sum
+    val late = out.map(_.getLong(3)).sum
+    assert(kept > 0 && late > 0, "jittered replay must both keep and drop")
+    val total = graft.sources.Tables.events(spark, sf0001).count()
+    assert(kept + late == total, "every event is either kept or late")
+  }
+
+  test("llm_ann_recall10: recall bounded, hits consistent") {
+    val r = SparkEntry.queries("llm_ann_recall10")(spark, sf0001).collect()(0)
+    val (nVecs, nHits, rec) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nVecs > 0 && nHits >= 0 && nHits <= 10L * nVecs)
+    assert(rec >= 0.0 && rec <= 1.0)
+    // 3-probe must beat or match the own-cell recall@1 regime's floor
+    assert(nHits > 0, "probing 3 cells finds at least one true neighbor")
+  }
+
   test("fn_string_advanced: spot-check the string kernel on one part") {
     val r = SparkEntry.queries("fn_string_advanced")(spark, sf0001)
       .orderBy("p_partkey").limit(1).collect()(0)

@@ -55,7 +55,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_entity_cooccur",
     // llm_unigram_logprob / llm_mi_lang_source: 1-row corpus-total
     // scalar broadcast into the token / cell tables (as llm_bm25)
-    "llm_unigram_logprob", "llm_mi_lang_source")
+    "llm_unigram_logprob", "llm_mi_lang_source",
+    // llm_ann_recall10: the 256-row eval slice (constant by
+    // construction) broadcast against the corpus for the exact side,
+    // and the 64-row centroid table for probe ranking
+    "llm_ann_recall10")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
