@@ -32,7 +32,7 @@ object SparkEntry {
       PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries ++
       EvalDepthQueries.queries ++ ModernSurfaceQueries.queries ++
       GraphEvalQueries.queries ++ GraphStatsQueries.queries ++
-      FinalDepthQueries.queries
+      FinalDepthQueries.queries ++ TpchSupplyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +50,5 @@ object SparkEntry {
       PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles ++
       EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles ++
       GraphEvalQueries.oracles ++ GraphStatsQueries.oracles ++
-      FinalDepthQueries.oracles
+      FinalDepthQueries.oracles ++ TpchSupplyQueries.oracles
 }

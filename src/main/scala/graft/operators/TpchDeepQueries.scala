@@ -8,8 +8,9 @@ import graft.QueryUtils.QFn
 import graft.sources.Tables
 
 /** §2.N — the remaining TPC-H decision-support shapes expressible on
-  * the driver schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20 are out
-  * of reach; no l_shipmode/l_commitdate/l_receiptdate/c_phone/
+  * the driver schema (no partsupp table, so Q2/Q9/Q11/Q16/Q20 live in
+  * [[TpchSupplyQueries]] over a lineitem-derived association instead;
+  * no l_shipmode/l_commitdate/l_receiptdate/c_phone/
   * p_container, so Q4/Q12/Q13/Q17/Q21/Q22 keep their SHAPE — the
   * graded thing — with schema-adapted predicates, each documented at
   * the query).

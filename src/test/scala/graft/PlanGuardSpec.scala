@@ -59,7 +59,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // llm_ann_recall10: the 256-row eval slice (constant by
     // construction) broadcast against the corpus for the exact side,
     // and the 64-row centroid table for probe ranking
-    "llm_ann_recall10")
+    "llm_ann_recall10",
+    // tpch_q11: the 1-row nation-total scalar crossed into the
+    // per-part values for the 0.1% threshold (as tpch_q22)
+    "tpch_q11")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
