@@ -32,7 +32,8 @@ object SparkEntry {
       PipelineDepthQueries.queries ++ AnalyticsDepthQueries.queries ++
       EvalDepthQueries.queries ++ ModernSurfaceQueries.queries ++
       GraphEvalQueries.queries ++ GraphStatsQueries.queries ++
-      FinalDepthQueries.queries ++ TpchSupplyQueries.queries
+      FinalDepthQueries.queries ++ TpchSupplyQueries.queries ++
+      TuningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +51,6 @@ object SparkEntry {
       PipelineDepthQueries.oracles ++ AnalyticsDepthQueries.oracles ++
       EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles ++
       GraphEvalQueries.oracles ++ GraphStatsQueries.oracles ++
-      FinalDepthQueries.oracles ++ TpchSupplyQueries.oracles
+      FinalDepthQueries.oracles ++ TpchSupplyQueries.oracles ++
+      TuningQueries.oracles
 }
