@@ -33,7 +33,8 @@ object SparkEntry {
       EvalDepthQueries.queries ++ ModernSurfaceQueries.queries ++
       GraphEvalQueries.queries ++ GraphStatsQueries.queries ++
       FinalDepthQueries.queries ++ TpchSupplyQueries.queries ++
-      TuningQueries.queries
+      TuningQueries.queries ++ AnalyticsClassicsQueries.queries ++
+      CorpusModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       EvalDepthQueries.oracles ++ ModernSurfaceQueries.oracles ++
       GraphEvalQueries.oracles ++ GraphStatsQueries.oracles ++
       FinalDepthQueries.oracles ++ TpchSupplyQueries.oracles ++
-      TuningQueries.oracles
+      TuningQueries.oracles ++ AnalyticsClassicsQueries.oracles ++
+      CorpusModelQueries.oracles
 }

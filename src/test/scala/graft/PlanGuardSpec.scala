@@ -62,7 +62,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_ann_recall10",
     // tpch_q11: the 1-row nation-total scalar crossed into the
     // per-part values for the 0.1% threshold (as tpch_q22)
-    "tpch_q11")
+    "tpch_q11",
+    // agg_rfm_segments: 1-row corpus-max-date scalar broadcast into the
+    // customer aggregate; sub_any_all: the 1-row (max, min) ALL/ANY
+    // bound pair broadcast into part; llm_vocab_growth: the 1-row
+    // doc-count scalar broadcast into the ranked docs — all
+    // provably-constant broadcasts (as tpch_q22)
+    "agg_rfm_segments", "sub_any_all", "llm_vocab_growth")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
