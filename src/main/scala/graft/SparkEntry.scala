@@ -34,7 +34,8 @@ object SparkEntry {
       GraphEvalQueries.queries ++ GraphStatsQueries.queries ++
       FinalDepthQueries.queries ++ TpchSupplyQueries.queries ++
       TuningQueries.queries ++ AnalyticsClassicsQueries.queries ++
-      CorpusModelQueries.queries
+      CorpusModelQueries.queries ++ WideSurfaceQueries.queries ++
+      CohortSignalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +55,6 @@ object SparkEntry {
       GraphEvalQueries.oracles ++ GraphStatsQueries.oracles ++
       FinalDepthQueries.oracles ++ TpchSupplyQueries.oracles ++
       TuningQueries.oracles ++ AnalyticsClassicsQueries.oracles ++
-      CorpusModelQueries.oracles
+      CorpusModelQueries.oracles ++ WideSurfaceQueries.oracles ++
+      CohortSignalQueries.oracles
 }

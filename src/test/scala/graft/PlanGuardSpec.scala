@@ -68,7 +68,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // bound pair broadcast into part; llm_vocab_growth: the 1-row
     // doc-count scalar broadcast into the ranked docs — all
     // provably-constant broadcasts (as tpch_q22)
-    "agg_rfm_segments", "sub_any_all", "llm_vocab_growth")
+    "agg_rfm_segments", "sub_any_all", "llm_vocab_growth",
+    // llm_idf_drift: the 1-row (na, nb) half-size pair broadcast into
+    // the token df table (as llm_vocab_growth)
+    "llm_idf_drift")
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
