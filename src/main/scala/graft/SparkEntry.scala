@@ -35,7 +35,8 @@ object SparkEntry {
       FinalDepthQueries.queries ++ TpchSupplyQueries.queries ++
       TuningQueries.queries ++ AnalyticsClassicsQueries.queries ++
       CorpusModelQueries.queries ++ WideSurfaceQueries.queries ++
-      CohortSignalQueries.queries ++ QualitySignalQueries.queries
+      CohortSignalQueries.queries ++ QualitySignalQueries.queries ++
+      RobustStatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       FinalDepthQueries.oracles ++ TpchSupplyQueries.oracles ++
       TuningQueries.oracles ++ AnalyticsClassicsQueries.oracles ++
       CorpusModelQueries.oracles ++ WideSurfaceQueries.oracles ++
-      CohortSignalQueries.oracles ++ QualitySignalQueries.oracles
+      CohortSignalQueries.oracles ++ QualitySignalQueries.oracles ++
+      RobustStatsQueries.oracles
 }
