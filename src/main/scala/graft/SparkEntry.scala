@@ -36,7 +36,7 @@ object SparkEntry {
       TuningQueries.queries ++ AnalyticsClassicsQueries.queries ++
       CorpusModelQueries.queries ++ WideSurfaceQueries.queries ++
       CohortSignalQueries.queries ++ QualitySignalQueries.queries ++
-      RobustStatsQueries.queries
+      RobustStatsQueries.queries ++ SessionSurfaceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +58,5 @@ object SparkEntry {
       TuningQueries.oracles ++ AnalyticsClassicsQueries.oracles ++
       CorpusModelQueries.oracles ++ WideSurfaceQueries.oracles ++
       CohortSignalQueries.oracles ++ QualitySignalQueries.oracles ++
-      RobustStatsQueries.oracles
+      RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles
 }

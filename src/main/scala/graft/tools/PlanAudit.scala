@@ -33,7 +33,14 @@ object PlanAudit {
       "llm_entity_cooccur", "sub_correlated_agg",
       // closing batch: last TPC-H, NAAJ, banded edit-distance dedup,
       // unigram LM scoring
-      "tpch_q15", "sub_not_in", "llm_dedup_editdist", "llm_unigram_logprob")
+      "tpch_q15", "sub_not_in", "llm_dedup_editdist", "llm_unigram_logprob",
+      // session-3 breadth: tuning S-curves, RFM ntile windows, cover-day
+      // WAU explode, map-only skip-grams, Expand windowed distinct,
+      // gram-keyed novelty join, staleness-bounded asof, rank-pick bands
+      "llm_lsh_tuning", "agg_rfm_segments", "agg_dau_wau",
+      "llm_skipgram_counts", "stream_window_distinct", "llm_ngram_novelty",
+      "join_asof_tolerance", "agg_percentile_bands", "win_cusum_daily",
+      "llm_lang_overlap")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

@@ -41,7 +41,11 @@ class QueriesSpec extends AnyFunSuite {
       PipelineDepthQueries.queries, AnalyticsDepthQueries.queries,
       EvalDepthQueries.queries, ModernSurfaceQueries.queries,
       GraphEvalQueries.queries, GraphStatsQueries.queries,
-      FinalDepthQueries.queries)
+      FinalDepthQueries.queries, TpchSupplyQueries.queries,
+      TuningQueries.queries, AnalyticsClassicsQueries.queries,
+      CorpusModelQueries.queries, WideSurfaceQueries.queries,
+      CohortSignalQueries.queries, QualitySignalQueries.queries,
+      RobustStatsQueries.queries, SessionSurfaceQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
