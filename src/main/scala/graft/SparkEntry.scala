@@ -36,7 +36,8 @@ object SparkEntry {
       TuningQueries.queries ++ AnalyticsClassicsQueries.queries ++
       CorpusModelQueries.queries ++ WideSurfaceQueries.queries ++
       CohortSignalQueries.queries ++ QualitySignalQueries.queries ++
-      RobustStatsQueries.queries ++ SessionSurfaceQueries.queries
+      RobustStatsQueries.queries ++ SessionSurfaceQueries.queries ++
+      VectorAuditQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +59,6 @@ object SparkEntry {
       TuningQueries.oracles ++ AnalyticsClassicsQueries.oracles ++
       CorpusModelQueries.oracles ++ WideSurfaceQueries.oracles ++
       CohortSignalQueries.oracles ++ QualitySignalQueries.oracles ++
-      RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles
+      RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles ++
+      VectorAuditQueries.oracles
 }

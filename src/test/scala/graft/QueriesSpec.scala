@@ -45,7 +45,8 @@ class QueriesSpec extends AnyFunSuite {
       TuningQueries.queries, AnalyticsClassicsQueries.queries,
       CorpusModelQueries.queries, WideSurfaceQueries.queries,
       CohortSignalQueries.queries, QualitySignalQueries.queries,
-      RobustStatsQueries.queries, SessionSurfaceQueries.queries)
+      RobustStatsQueries.queries, SessionSurfaceQueries.queries,
+      VectorAuditQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
