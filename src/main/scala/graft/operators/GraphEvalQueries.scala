@@ -85,9 +85,11 @@ object GraphEvalQueries {
     // truth set. Both pair lists are checkpointed outputs of shipped
     // pipelines; the comparison is one full outer join.
     "llm_dedup_pr" -> ((s, dir) => {
-      val truth = LlmQueries.queries("llm_dedup_near")(s, dir)
+      val truth = graft.tools.PairArtifacts.of(s, dir, "near")(
+        LlmQueries.queries("llm_dedup_near")(s, dir))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
-      val pred = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+      val pred = graft.tools.PairArtifacts.of(s, dir, "simhash")(
+        ScaleQueries.queries("llm_dedup_simhash")(s, dir))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
       val j = truth.join(pred, Seq("doc_a", "doc_b"), "outer")
       j.agg(

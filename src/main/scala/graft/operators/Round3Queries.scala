@@ -191,9 +191,11 @@ object Round3Queries {
     // llm_dedup_minhash_lsh's banded set): one left equi-join over two
     // checkpointed pair lists, no new machinery.
     "llm_dedup_lsh_recall" -> ((s, dir) => {
-      val exact = LlmQueries.queries("llm_dedup_near")(s, dir)
+      val exact = graft.tools.PairArtifacts.of(s, dir, "near")(
+        LlmQueries.queries("llm_dedup_near")(s, dir))
         .select(col("doc_a"), col("doc_b"))
-      val lsh = ScaleQueries.queries("llm_dedup_minhash_lsh")(s, dir)
+      val lsh = graft.tools.PairArtifacts.of(s, dir, "minhash_lsh")(
+        ScaleQueries.queries("llm_dedup_minhash_lsh")(s, dir))
         .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
       exact.join(lsh, Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_exact"),

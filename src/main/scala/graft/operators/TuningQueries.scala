@@ -49,7 +49,8 @@ object TuningQueries {
     // so the whole query costs one pass over the pair list after the
     // dedup pipeline it tunes.
     "llm_lsh_tuning" -> ((s, dir) => {
-      val pairs = LlmQueries.queries("llm_dedup_near")(s, dir)
+      val pairs = graft.tools.PairArtifacts.of(s, dir, "near")(
+        LlmQueries.queries("llm_dedup_near")(s, dir))
         .select(col("jaccard").as("j"))
       def detectP(b: Int, r: Int): Column =
         lit(1.0) - sq(lit(1.0) - sq(col("j"), r), b)
