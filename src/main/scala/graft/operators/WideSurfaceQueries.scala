@@ -102,8 +102,12 @@ object WideSurfaceQueries {
     // Tumbling 1-day windows per event type with an EXACT distinct
     // user count — the streaming shape that needs Expand (one shuffle
     // keyed by (window, type, user) then a re-agg), vs stream_tumbling's
-    // plain counts. In a live stream the same plan runs with a
-    // watermark bounding the per-window user state.
+    // plain counts. NOTE Structured Streaming does NOT support
+    // count_distinct in an aggregation: the live-stream form is
+    // watermarked dropDuplicates on (window, type, user) followed by a
+    // plain count — the SAME keyed state, split across two operators.
+    // StreamingSpec runs exactly that form through MemoryStream epochs
+    // and matches it against this batch query's semantics.
     "stream_window_distinct" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))

@@ -40,7 +40,14 @@ class DeterminismSpec extends AnyFunSuite {
       // closing batch float-risky shapes: lag-chain smoothing, LM log
       // sums, MI terms, top-10 cosine rank boundaries
       "win_weighted_ma", "win_decayed_sum", "llm_unigram_logprob",
-      "llm_mi_lang_source", "llm_ann_recall10")) {
+      "llm_mi_lang_source", "llm_ann_recall10",
+      // session-3 float-risky shapes: squaring-chain S-curves, double
+      // closed forms (Gini, z-stat), decimal-backed YoY doubles,
+      // odds-ratio limit boundaries, corr matrix, norm folds,
+      // unrounded integer-ratio shares
+      "llm_lsh_tuning", "agg_gini_revenue", "agg_ab_conversion",
+      "win_yoy_revenue", "llm_idf_drift", "agg_corr_matrix",
+      "llm_emb_norm_audit", "agg_seasonality_dow")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

@@ -179,4 +179,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(nonEmpty.map(_._1) == nonEmpty.map(_._1).sorted)
     } finally q.stop()
   }
+
+  test("windowed distinct users via dropDuplicates matches the batch shape") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    // Streaming forbids count_distinct in aggregations
+    // (stream_window_distinct's batch plan); the live form is
+    // watermarked dropDuplicates on (window, user) then a plain count
+    // — same keyed state, two operators. Duplicate users inside a
+    // window must collapse; distinct users must not.
+    val agg = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .select(window(col("ts"), "1 day").as("w"), col("user_id"), col("ts"))
+      .dropDuplicates("w", "user_id")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("ws"), col("n_users"))
+    val q = agg.writeStream.format("memory").queryName("wdistinct_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 09:00:00"), 1, 1.0),
+        Ev(ts("2024-01-01 10:00:00"), 1, 2.0), // dup user, same day
+        Ev(ts("2024-01-01 11:00:00"), 2, 3.0),
+        Ev(ts("2024-01-02 09:00:00"), 1, 4.0)) // same user, next day
+      q.processAllAvailable()
+      val rows = spark.table("wdistinct_out")
+        .groupBy("ws").agg(max("n_users").as("n"))
+        .collect().map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(rows("2024-01-01 00:00:00.0") == 2L, s"got $rows")
+      assert(rows("2024-01-02 00:00:00.0") == 1L, s"got $rows")
+    } finally q.stop()
+  }
 }
