@@ -37,7 +37,7 @@ object SparkEntry {
       CorpusModelQueries.queries ++ WideSurfaceQueries.queries ++
       CohortSignalQueries.queries ++ QualitySignalQueries.queries ++
       RobustStatsQueries.queries ++ SessionSurfaceQueries.queries ++
-      VectorAuditQueries.queries
+      VectorAuditQueries.queries ++ CurationRulesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +60,5 @@ object SparkEntry {
       CorpusModelQueries.oracles ++ WideSurfaceQueries.oracles ++
       CohortSignalQueries.oracles ++ QualitySignalQueries.oracles ++
       RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles ++
-      VectorAuditQueries.oracles
+      VectorAuditQueries.oracles ++ CurationRulesQueries.oracles
 }
