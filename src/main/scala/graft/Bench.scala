@@ -73,5 +73,14 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] write bench_out.json failed: $e") }
     println(json)
     spark.stop()
+    // RED BUILD on any failed query: round 4 lost its whole cycle because
+    // 57 erroring queries rode under rc=0 while the harness reported the
+    // passing subset as the round total. The JSON above is already
+    // written/printed, so the driver still gets the timings — the
+    // nonzero exit just makes the breakage impossible to misread.
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] RED: ${failed.size} queries failed: ${failed.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

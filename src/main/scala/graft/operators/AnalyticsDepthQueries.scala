@@ -147,9 +147,13 @@ object AnalyticsDepthQueries {
     // dedup-health report that catches pathological hub documents
     // (boilerplate that pairs with everything) before clustering.
     // Composes the shipped pair pipeline: one union, one count per
-    // doc, one histogram.
+    // doc, one histogram. Reads the memoized pair artifact (the stored
+    // dedup-pipeline output at 100 TB) rather than rebuilding the
+    // simhash pipeline per report — only llm_dedup_simhash itself, the
+    // declared pipeline, builds fresh every invocation.
     "llm_dedup_degree" -> ((s, dir) => {
-      val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+      val pairs = graft.tools.PairArtifacts.of(s, dir, "simhash")(
+        ScaleQueries.queries("llm_dedup_simhash")(s, dir))
         .select(col("doc_a"), col("doc_b"))
       val deg = pairs.select(col("doc_a").as("d"))
         .union(pairs.select(col("doc_b").as("d")))

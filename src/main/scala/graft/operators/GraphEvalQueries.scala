@@ -56,8 +56,11 @@ object GraphEvalQueries {
     // one min-aggregation over the frontier, eagerly checkpointed —
     // the same skeleton as label propagation; rounds are FIXED (6), so
     // the plan is statically bounded. Unreached nodes drop out.
+    // Edges come from the memoized simhash pair artifact (persisted
+    // dedup output at scale), not a per-query pipeline rebuild.
     "graph_bfs_hops" -> ((s, dir) => {
-      val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+      val pairs = graft.tools.PairArtifacts.of(s, dir, "simhash")(
+        ScaleQueries.queries("llm_dedup_simhash")(s, dir))
         .select(col("doc_a"), col("doc_b"))
       val edges = graft.tools.PlanCapture.stage("bfs.edges",
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -291,9 +291,23 @@ object Round2Queries {
     * shared by llm_dedup_cluster (which adds the global presentation
     * orderBy over the checkpointed labels) and llm_cluster_stats
     * (which aggregates the labels directly).
+    *
+    * MEMOIZED per (session, dir): at 100 TB the converged cluster
+    * assignment is a persisted pipeline table (written once after pair
+    * generation, probed by every impact report and canonicalization
+    * job), so the harness mirrors that shape — the first consumer pays
+    * the full propagation build, later consumers read the materialized
+    * labels. DeterminismSpec clears the cache between its double runs
+    * and PlanCapture.enable() clears it before plan audits, so both
+    * guards always observe a fresh build.
     */
-  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val pairs = ScaleQueries.queries("llm_dedup_simhash")(s, dir)
+  private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String):
+      org.apache.spark.sql.DataFrame =
+    graft.tools.IndexCache.cached(s, s"cluster.labels:$dir")(buildClusterLabels(s, dir))
+
+  private def buildClusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val pairs = graft.tools.PairArtifacts.of(s, dir, "simhash")(
+      ScaleQueries.queries("llm_dedup_simhash")(s, dir))
       .select(col("doc_a"), col("doc_b"))
     val edges = graft.tools.PlanCapture.stage("cluster.edges",
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))

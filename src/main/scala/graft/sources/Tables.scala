@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the test star schema (see FIXTURES.md).
   *
@@ -11,13 +12,17 @@ import org.apache.spark.sql.functions._
   * cluster scale these become multi-file scans with partition pruning
   * for free, since nothing here forces materialization.
   *
-  * `events.ts` is physically TIMESTAMP(NANOS, isAdjustedToUTC=false),
-  * which Spark's vectorized reader rejects by default
-  * ([PARQUET_TYPE_ILLEGAL]). We read it with
+  * `events.ts` has drifted across driver fixture generations:
+  * originally TIMESTAMP(NANOS, isAdjustedToUTC=false) — which Spark's
+  * vectorized reader rejects by default ([PARQUET_TYPE_ILLEGAL]), hence
   * `spark.sql.legacy.parquet.nanosAsLong=true` (long nanos since epoch)
-  * and recover a microsecond-precision TIMESTAMP_NTZ via integer
-  * division (`ts div 1000` — exact; a double division would lose
-  * sub-microsecond precision at 2024-era epochs).
+  * recovered to µs TIMESTAMP_NTZ via integer division (`ts div 1000` —
+  * exact; a double division would lose sub-microsecond precision at
+  * 2024-era epochs) — and currently timestamp[us] without tz, which
+  * Spark reads directly as TIMESTAMP_NTZ. The loaders dispatch on the
+  * read schema so EITHER encoding works; any other physical type fails
+  * fast with a one-line fixture-drift diagnosis instead of 57 opaque
+  * downstream analysis errors.
   *
   * The flag is DELIBERATELY set session-globally (not saved/restored):
   * the scan consults it lazily at execution and re-planning time, so a
@@ -67,18 +72,46 @@ object Tables {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
 
+  /** Fixture-drift guard: name the physical type found and the fix. */
+  private def unexpectedTs(dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"events.ts read as $dt; expected LongType (int64/TIMESTAMP(NANOS) fixtures " +
+        "via nanosAsLong), TimestampNTZType (timestamp[us] fixtures) or " +
+        "TimestampType. Fixture drift — compare the generated parquet against " +
+        "FIXTURES.md before touching any query.")
+
   /** events with `ts` recovered to TIMESTAMP_NTZ (µs precision, UTC session). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = assertCols(read(spark, dir, "events"), "events",
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case TimestampNTZType => raw
+      case TimestampType    => raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      case other            => unexpectedTs(other)
+    }
   }
 
-  /** events with raw long-nanos ts (for callers that bucket on the long). */
+  /** events with `ts` as raw long nanos (for callers that bucket on the
+    * long — see BehaviorQueries' tz-free integer-arithmetic contract).
+    * When the fixture carries a timestamp column, the long is synthesized
+    * via `timestampdiff(MICROSECOND, ntz-epoch, ts) * 1000`: integer µs
+    * since the naive epoch, never routed through the session timezone,
+    * so it equals the original int64-nanos fixtures floored to µs and
+    * DuckDB's tz-free `epoch_ns(ts)` on both fixture generations.
+    */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
+    val raw = read(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case TimestampNTZType | TimestampType =>
+        raw.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+            "cast(ts as timestamp_ntz)) * 1000"))
+      case other => unexpectedTs(other)
+    }
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame =

@@ -15,28 +15,30 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
-  /** Parquet schema of the raw events log (ts = raw nanos as long;
-    * pinned explicitly because streaming sources require a user schema).
-    */
-  val rawEventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   /** Streaming read of an events parquet path, ts recovered to
     * microsecond TIMESTAMP (watermarks require TimestampType, not NTZ;
     * the session is pinned UTC so wall-clock values match the batch
     * loader's TIMESTAMP_NTZ).
+    *
+    * Streaming sources require a user schema; it is taken from a one-off
+    * batch footer read of the same path so whichever physical `ts`
+    * encoding the fixture generation used (int64 nanos vs timestamp[us])
+    * gets the same dispatch as `Tables.events`. The footer read is
+    * driver-side and O(files), not a data scan.
     */
   def eventsStream(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawEventsSchema)
+    val raw = spark.readStream
+      .schema(spark.read.parquet(path).schema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case TimestampType    => raw
+      case other => throw new IllegalArgumentException(
+        s"events.ts read as $other; expected long nanos, timestamp_ntz or timestamp " +
+          "(fixture drift — see Tables.events)")
+    }
   }
 
   /** Watermarked tumbling counts per event type (append-mode safe). */

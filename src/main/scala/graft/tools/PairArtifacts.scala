@@ -19,8 +19,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * llm_dedup_near / llm_dedup_simhash / llm_dedup_minhash_lsh build
   * their pipelines on every invocation, so their bench timings measure
   * the declared computation. Only DERIVED consumers (llm_dedup_pr,
-  * llm_dedup_lsh_recall, llm_lsh_tuning) read the artifact, exactly as
-  * the ANN probes read the memoized codebook. `PlanCapture.enable()`
+  * llm_dedup_lsh_recall, llm_lsh_tuning, llm_dedup_degree,
+  * graph_bfs_hops, and the cluster-label build shared by
+  * llm_dedup_cluster / llm_cluster_stats) read the artifact, exactly
+  * as the ANN probes read the memoized codebook. `PlanCapture.enable()`
   * clears the underlying cache, so the plan guard always audits fresh
   * builds, and DeterminismSpec's double-run re-executes them.
   */

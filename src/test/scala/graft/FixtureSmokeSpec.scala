@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Fixture-drift tripwire. The driver regenerates /root/testdata between
+  * rounds and has already changed events.ts's physical encoding once
+  * (int64 TIMESTAMP(NANOS) → timestamp[us]), which silently killed every
+  * events consumer for a full round. This spec fails with a one-line
+  * diagnosis the moment any scale factor's events table stops loading,
+  * so encoding drift surfaces here instead of as dozens of opaque
+  * analysis errors across the suite.
+  */
+class FixtureSmokeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dirs = Seq(
+    "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  for (dir <- dirs) {
+    test(s"events loads with ntz-µs ts at $dir") {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType == TimestampNTZType,
+        s"events.ts normalized to ${ev.schema("ts").dataType}, expected TIMESTAMP_NTZ")
+      assert(ev.limit(1).count() == 1, s"events at $dir is empty")
+    }
+  }
+
+  test("eventsRawNanos yields long nanos consistent with the ntz loader") {
+    val dir = sf0001
+    val raw = Tables.eventsRawNanos(spark, dir)
+    assert(raw.schema("ts").dataType == LongType,
+      s"eventsRawNanos.ts is ${raw.schema("ts").dataType}, expected LongType")
+    // the long must be exactly the ntz wall-clock in nanos (µs-floored
+    // fixtures → *1000), row for row — join on event_id and compare
+    val ntz = Tables.events(spark, dir)
+      .select(col("event_id"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")
+          .as("expect"))
+    val bad = raw.select(col("event_id"), col("ts"))
+      .join(ntz, "event_id")
+      .where(col("ts") =!= col("expect"))
+      .count()
+    assert(bad == 0, s"$bad rows where raw-nanos ts != ntz-derived nanos")
+  }
+}
