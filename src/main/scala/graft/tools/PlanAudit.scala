@@ -40,7 +40,11 @@ object PlanAudit {
       "llm_lsh_tuning", "agg_rfm_segments", "agg_dau_wau",
       "llm_skipgram_counts", "stream_window_distinct", "llm_ngram_novelty",
       "join_asof_tolerance", "agg_percentile_bands", "win_cusum_daily",
-      "llm_lang_overlap")
+      "llm_lang_overlap",
+      // round-5: the events family recovered by the ts-encoding dispatch
+      // — prove the µs-ntz read path still pushes down and plans tight
+      "scan_events_nanos", "join_asof", "win_range_time", "agg_funnel",
+      "stream_session_native", "win_sessionize", "agg_regr_per_user")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
