@@ -24,10 +24,12 @@ object Verify {
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap
+    var nFailed = 0
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        nFailed += 1
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -47,5 +49,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // red build on any erroring query (same rationale as Bench's gate:
+    // a failure must never ride under rc=0) — every dump and the oracle
+    // JSON above are already written, so downstream compares still run
+    if (nFailed > 0) {
+      System.err.println(s"[verify] RED: $nFailed queries failed")
+      sys.exit(1)
+    }
   }
 }

@@ -110,8 +110,52 @@ object ScaleDryRun {
       graft.operators.PipelineDepthQueries.contaminationHits(d).count()
     }
 
+    // as-of join at k× the event volume (round 5, post-recovery):
+    // replicas get DISJOINT user-id spaces on both sides so per-event
+    // candidate fan-out stays constant — what must grow is only the
+    // equi-key shuffle, never the candidate set
+    val events = graft.sources.Tables.events(spark, dir)
+    def asofShape(k: Int): Long = {
+      val e = Seq.range(0, k).map(i => events
+        .withColumn("user_id", col("user_id") * k + i)
+        .withColumn("event_id", col("event_id") * k + i))
+        .reduce(_ unionAll _)
+        .select(col("event_id"), col("user_id"), col("ts").as("event_ts"))
+      val o = Seq.range(0, k).map(i => orders
+        .withColumn("o_custkey", col("o_custkey") * k + i)
+        .withColumn("o_orderkey", col("o_orderkey") * k + i))
+        .reduce(_ unionAll _)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      e.join(o, e("user_id") === o("o_custkey")
+          && col("o_orderdate") <= col("event_ts"))
+        .groupBy("event_id")
+        .agg(max_by(col("o_orderkey"),
+          struct(col("o_orderdate"), col("o_orderkey"))))
+        .count()
+    }
+
+    // sessionization at k× the event volume (round 5): per-user lag +
+    // running flag-sum windows — O(1) state per key, so wall time must
+    // track event volume, not blow up on window buffering
+    def sessShape(k: Int): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val e = Seq.range(0, k).map(i => events
+        .withColumn("user_id", col("user_id") * k + i)
+        .withColumn("event_id", col("event_id") * k + i))
+        .reduce(_ unionAll _)
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull
+            || col("ts").cast("timestamp").cast("long")
+               - col("prev_ts").cast("timestamp").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .select(col("user_id"), sum("new_session").over(w).as("si"))
+        .groupBy("si").count().count()
+    }
+
     q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
-    chunkShape(1); contamShape(1) // JIT warm-up
+    chunkShape(1); contamShape(1); asofShape(1); sessShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
@@ -120,7 +164,9 @@ object ScaleDryRun {
       val t5 = time(bigramShape(k))
       val t6 = time(chunkShape(k))
       val t7 = time(contamShape(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s")
+      val t8 = time(asofShape(k))
+      val t9 = time(sessShape(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s")
     }
     spark.stop()
   }
