@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the test star schema (see FIXTURES.md).
   *
@@ -118,7 +118,22 @@ object Tables {
     assertCols(read(spark, dir, "documents"), "documents",
       Seq("doc_id", "text", "lang", "source", "n_chars"))
 
-  def embeddings(spark: SparkSession, dir: String): DataFrame =
-    assertCols(read(spark, dir, "embeddings"), "embeddings",
+  /** embeddings with `embedding` normalized to array<float> — the same
+    * drift insurance as the events ts dispatch: a regenerated fixture
+    * flipping list<float> to list<double> (a common writer default)
+    * would otherwise break the FloatVecDot kernel's type check across
+    * the whole ANN family at once.
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = assertCols(read(spark, dir, "embeddings"), "embeddings",
       Seq("vec_id", "embedding", "label"))
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(FloatType, _) => raw
+      case org.apache.spark.sql.types.ArrayType(_, _) =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case other => throw new IllegalArgumentException(
+        s"embeddings.embedding read as $other; expected array<float-compatible> " +
+          "(fixture drift — compare against FIXTURES.md)")
+    }
+  }
 }

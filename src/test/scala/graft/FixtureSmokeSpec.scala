@@ -29,6 +29,17 @@ class FixtureSmokeSpec extends AnyFunSuite {
     }
   }
 
+  for (dir <- dirs) {
+    test(s"embeddings loads as array<float> at $dir") {
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val emb = Tables.embeddings(spark, dir)
+      assert(emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = true)
+        || emb.schema("embedding").dataType == ArrayType(FloatType, containsNull = false),
+        s"embedding normalized to ${emb.schema("embedding").dataType}, expected array<float>")
+      assert(emb.limit(1).count() == 1, s"embeddings at $dir is empty")
+    }
+  }
+
   test("eventsRawNanos yields long nanos consistent with the ntz loader") {
     val dir = sf0001
     val raw = Tables.eventsRawNanos(spark, dir)
