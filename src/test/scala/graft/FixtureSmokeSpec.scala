@@ -40,6 +40,27 @@ class FixtureSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("LongType dispatch path: a ns-long events fixture normalizes identically") {
+    // The current fixtures are timestamp[us], so the loader's LongType
+    // arm (the original TIMESTAMP(NANOS)-via-nanosAsLong generation) is
+    // otherwise dead code — synthesize that generation by writing the
+    // raw-nanos view back as int64 and prove both encodings normalize
+    // to the SAME rows, so a driver regen back to ns cannot regress.
+    val dir = sf0001
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ns_events").toString
+    Tables.eventsRawNanos(spark, dir)
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val viaLong = Tables.events(spark, tmp)
+    assert(viaLong.schema("ts").dataType == TimestampNTZType)
+    val a = viaLong.orderBy("event_id").collect()
+    val b = Tables.events(spark, dir).orderBy("event_id").collect()
+    assert(a.length == b.length)
+    assert(a.sameElements(b), "long-nanos and ntz-µs loader outputs differ")
+    // the streaming reader must dispatch the long encoding the same way
+    val st = graft.streaming.StreamOps.eventsStream(spark, s"$tmp/events.parquet")
+    assert(st.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("eventsRawNanos yields long nanos consistent with the ntz loader") {
     val dir = sf0001
     val raw = Tables.eventsRawNanos(spark, dir)
