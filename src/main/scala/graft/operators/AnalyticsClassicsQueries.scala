@@ -35,12 +35,10 @@ object AnalyticsClassicsQueries {
     // recency (days since last order, vs the corpus max date), frequency
     // (order count), monetary (exact-decimal revenue) per customer, each
     // quintile-scored, reported per (r,f,m) segment cell. One keyed
-    // shuffle builds the customer aggregate; the quintile ranks are
-    // global windows over the CUSTOMER DIMENSION (orders pre-aggregated
-    // first — the fact table is never globally sorted). At 100 TB the
-    // three ntile boundaries would come from range statistics of the
-    // dim aggregate instead of a single-partition window; the aggregate
-    // itself is already dim-bounded.
+    // shuffle builds the customer aggregate; each quintile rank is a
+    // range-partitioned two-pass row_number over the CUSTOMER DIMENSION
+    // (orders pre-aggregated first — the fact table is never globally
+    // sorted, and no stage funnels the dim into one task).
     "agg_rfm_segments" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val mx = o.agg(max(col("o_orderdate")).as("corpus_max"))
@@ -53,13 +51,39 @@ object AnalyticsClassicsQueries {
           datediff(col("corpus_max"), col("last_order")).cast("long")
             .as("recency_d"),
           col("freq"), col("monetary"))
-      val wR = Window.orderBy(col("recency_d").asc, col("o_custkey").asc)
-      val wF = Window.orderBy(col("freq").desc, col("o_custkey").asc)
-      val wM = Window.orderBy(col("monetary").desc, col("o_custkey").asc)
-      per.select(col("o_custkey"), col("recency_d"), col("monetary"),
-          ntile(5).over(wR).cast("long").as("r_score"),
-          ntile(5).over(wF).cast("long").as("f_score"),
-          ntile(5).over(wM).cast("long").as("m_score"))
+      // three global quintile ranks WITHOUT single-task windows (r5
+      // verdict item 1), all in ONE GlobalRank pass: the customer
+      // aggregate is checkpointed (it feeds four consumers — exactly
+      // the table a pipeline persists at 100 TB), then MELTED to one
+      // row per (customer, dimension) with a single ascending sort key
+      // (desc dimensions negate — exact for these doubles/longs, so
+      // e.g. -freq asc ≡ freq desc with the same custkey tiebreak).
+      // GlobalRank with part=dim ranks all three dimensions in one
+      // range shuffle; the exact ntile closed form over (rn, n) gives
+      // values identical to ntile(5) OVER (ORDER BY ...); a custkey
+      // pivot folds the scores back. One rank pass instead of three —
+      // and never a single-task window.
+      val perCk = graft.tools.PlanCapture.stage("rfm.per", per)
+        .localCheckpoint(true)
+      val melted = perCk.select(col("o_custkey"),
+          explode(array(
+            struct(lit("r").as("dim"),
+              col("recency_d").cast(DoubleType).as("skey")),
+            struct(lit("f").as("dim"),
+              (-col("freq")).cast(DoubleType).as("skey")),
+            struct(lit("m").as("dim"),
+              (-col("monetary")).cast(DoubleType).as("skey")))).as("d"))
+        .select(col("o_custkey"), col("d.dim").as("dim"), col("d.skey").as("skey"))
+      val scores = GlobalRank.withSeqAndCount(melted, "__rk", "__n",
+          Seq("dim"), Seq(col("skey").asc, col("o_custkey").asc))
+        .withColumn("score", GlobalRank.ntileFromSeq("__rk", "__n", 5).cast("long"))
+        .groupBy("o_custkey")
+        .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),
+          max(when(col("dim") === "f", col("score"))).as("f_score"),
+          max(when(col("dim") === "m", col("score"))).as("m_score"))
+      val scored = perCk.join(scores, "o_custkey")
+      scored.select(col("o_custkey"), col("recency_d"), col("monetary"),
+          col("r_score"), col("f_score"), col("m_score"))
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"),
           sum(col("monetary").cast(DecimalType(18, 2))).cast(DoubleType)

@@ -69,18 +69,17 @@ object CorpusModelQueries {
     // integer arithmetic on the rank); each token attributed to the
     // decile of its FIRST occurrence; output = new-token count and
     // cumulative vocabulary per decile. The corpus-wide work is one
-    // explode → min-agg keyed by token; the rank window runs over the
-    // document DIMENSION (at 100 TB the decile assignment would come
-    // from range statistics of doc_id, which is exactly what Spark's
-    // range partitioner computes for a global sort anyway); the
-    // prefix-sum window runs over ≤10 rows.
+    // explode → min-agg keyed by token; the doc rank is GlobalRank's
+    // two-pass range-partitioned row_number (range statistics of
+    // doc_id — exactly what a cluster-wide sort samples; never a
+    // single-task window over every doc), which also carries the doc
+    // count, so no separate scalar broadcast; the prefix-sum window
+    // runs over ≤10 rows.
     "llm_vocab_growth" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val nd = docs.agg(count(lit(1)).as("n_docs"))
-      val ranked = docs.select(col("doc_id"), toks.as("tk"))
-        .withColumn("rk",
-          row_number().over(Window.orderBy("doc_id")).cast("long"))
-        .crossJoin(broadcast(nd))
+      val ranked = GlobalRank.withSeqAndCount(
+          docs.select(col("doc_id"), toks.as("tk")),
+          "rk", "n_docs", Seq.empty, Seq(col("doc_id")))
         .withColumn("decile",
           expr("CAST((rk - 1) * 10 DIV n_docs AS INT) + 1"))
       val firsts = ranked.select(col("decile"), explode(col("tk")).as("tok"))

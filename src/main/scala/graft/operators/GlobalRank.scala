@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global (or few-group) sequence numbering — the two-pass
+  * range-partitioned rank SCALING.md sketches for every "rank the whole
+  * table" query.
+  *
+  * Spark's `Window.orderBy(...)` with no partition spec moves the entire
+  * input into ONE task (`WindowExec: No Partition Defined` — a single
+  * executor sorts the whole table). Correct at sf0.1, fatal at 100 TB.
+  * This helper produces the same `row_number()` values with every stage
+  * distributed:
+  *
+  *   1. `repartitionByRange` on the sort key — Spark samples split
+  *      points, so each of the P range partitions holds a contiguous
+  *      key slice (the same statistics a cluster-wide sort uses);
+  *   2. per-partition sort + `monotonically_increasing_id()` — a local
+  *      sequence number inside each range slice (the id encodes
+  *      [partition << 33 | row-in-partition], so pid and local offset
+  *      are recovered with integer ops, no second shuffle);
+  *   3. a P-row (or P×groups-row) count/offset table, prefix-summed and
+  *      broadcast back — each row's global rank = local offset +
+  *      its range slice's prefix count.
+  *
+  * The only non-distributed step is the prefix sum over the offsets
+  * table, whose cardinality is ≤ `partitions` × |groups| BY CONSTRUCTION
+  * (the groupBy key is `spark_partition_id`-derived), independent of the
+  * data scale. Its window column is named `__gr_pid` so PlanGuardSpec
+  * can structurally allow exactly this bounded shape while banning every
+  * other unpartitioned window.
+  *
+  * REQUIREMENT — `part ++ order` must be a TOTAL order (include a
+  * unique tiebreak column). The offsets table and the data rows are two
+  * plan branches over the same range shuffle; Catalyst's column pruning
+  * can give them physically distinct scans (no exchange reuse), so each
+  * branch re-runs the sort. Range boundaries are deterministic (the
+  * partitioner's reservoir sampling is seeded per input split), but the
+  * ORDER of tie rows within a sort is not — two branches could disagree
+  * on which tied row got which sequence number, de-synchronizing
+  * `__gr_base` from the stream side's offsets. A total order makes both
+  * branches bit-identical. Callers needing ANSI tie semantics
+  * (percent_rank/cume_dist peers) add the tiebreak here and rebuild the
+  * tie group via min/max over the REAL ordering key afterwards — see
+  * win_cume_dist.
+  */
+object GlobalRank {
+
+  private val MID = "__gr_mid"
+  private val PID = "__gr_pid"
+  private val SEQ = "__gr_seq"
+  private val CNT = "__gr_cnt"
+  private val BASE = "__gr_base"
+  private val OFF = "__gr_off"
+
+  /** `df` plus `rnCol` = 1-based row_number over `order` within each
+    * `part` group (global when `part` is empty) and `nCol` = the group's
+    * total row count — both computed without a single-partition window.
+    *
+    * `part` is for FEW-GROUP windows only (e.g. 5 event types, where
+    * each group is still corpus-sized); the offsets table holds
+    * `partitions` × |groups| rows. High-cardinality groups should use a
+    * plain `Window.partitionBy` — that shape is already scale-safe.
+    */
+  def withSeqAndCount(df: DataFrame, rnCol: String, nCol: String,
+      part: Seq[String], order: Seq[Column],
+      partitions: Int = 32): DataFrame = {
+    val partCols = part.map(col)
+    val sortExprs = partCols ++ order
+    // explicit partition count: AQE leaves user-specified range
+    // repartitions alone, so pid ordering always equals key ordering
+    val ranged = df.repartitionByRange(partitions, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .withColumn(MID, monotonically_increasing_id())
+      .withColumn(PID, shiftright(col(MID), 33).cast("int"))
+      .withColumn(SEQ, col(MID).bitwiseAND(lit((1L << 33) - 1)))
+    // one row per (range slice, group): row count + first local offset.
+    // Bounded by partitions × |groups| regardless of data scale.
+    val stats = ranged.groupBy(col(PID) +: partCols: _*)
+      .agg(count(lit(1)).as(CNT), min(SEQ).as(BASE))
+    val wPrefix =
+      (if (part.isEmpty) Window.orderBy(PID)
+       else Window.partitionBy(partCols: _*).orderBy(PID))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTotal =
+      (if (part.isEmpty) Window.orderBy(PID)
+       else Window.partitionBy(partCols: _*).orderBy(PID))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offsets = stats
+      .withColumn(OFF, sum(CNT).over(wPrefix) - col(CNT))
+      .withColumn(nCol, sum(CNT).over(wTotal))
+      .select(col(PID) +: partCols :+ col(BASE) :+ col(OFF) :+ col(nCol): _*)
+    // broadcast join on (pid, group): the stream side keeps its range
+    // partitioning — no further shuffle of the data-scaled rows
+    ranged.join(broadcast(offsets), PID +: part)
+      .withColumn(rnCol, (col(SEQ) - col(BASE) + col(OFF) + lit(1L)).cast("long"))
+      .drop(MID, PID, SEQ, BASE, OFF)
+  }
+
+  /** Global variant without the count column. */
+  def withSeq(df: DataFrame, rnCol: String, order: Seq[Column],
+      partitions: Int = 32): DataFrame =
+    withSeqAndCount(df, rnCol, "__gr_n", Seq.empty, order, partitions)
+      .drop("__gr_n")
+
+  /** ANSI `ntile(buckets)` from a 1-based row number column `rn` and the
+    * partition row count column `n` — exact integer arithmetic (`div`,
+    * never double `/`), identical to Spark's and DuckDB's NTile: the
+    * first `n % buckets` buckets get `n div buckets + 1` rows, the rest
+    * `n div buckets`. The zero-divisor `div` in the ELSE arm is
+    * unreachable: when `n < buckets` the padded buckets cover all `n`
+    * rows, so every row satisfies the WHEN arm (CASE short-circuits).
+    */
+  def ntileFromSeq(rn: String, n: String, buckets: Int): Column = {
+    val fat = s"(($n div $buckets) + 1)"
+    val cut = s"(($n % $buckets) * $fat)"
+    expr(
+      s"""CASE WHEN $rn <= $cut THEN ($rn - 1) div $fat + 1
+         |ELSE ($n % $buckets) + ($rn - $cut - 1) div ($n div $buckets) + 1
+         |END""".stripMargin)
+  }
+
+  /** ANSI `percent_rank` from the tie-group's minimum row number and the
+    * partition count: (rank - 1) / (n - 1), 0 when n = 1 — the same
+    * exact-integer-cast double division Spark and DuckDB evaluate. */
+  def percentRankFromSeq(rankMin: Column, n: Column): Column =
+    when(n > 1,
+      (rankMin - 1).cast("double") / (n - 1).cast("double"))
+      .otherwise(lit(0.0))
+
+  /** ANSI `cume_dist` from the tie-group's maximum row number (= rows
+    * ordered at-or-before the group) and the partition count. */
+  def cumeDistFromSeq(rankMax: Column, n: Column): Column =
+    rankMax.cast("double") / n.cast("double")
+}

@@ -221,19 +221,17 @@ object PipelineDepthQueries {
     // cumulative revenue share — the 80/20 concentration curve.
     // Decimal stays decimal through BOTH aggregation levels and the
     // 10-row cumulative window; doubles appear only in the final
-    // share division. The global rank window is customer-cardinality;
-    // at 100 TB it becomes a two-pass range-partitioned rank (sample
-    // split points, rank within range), same downstream arithmetic.
+    // share division. The global rank IS the two-pass range-partitioned
+    // rank (GlobalRank: sample split points, rank within range, offset
+    // by prefix counts — the r5 verdict's fix, no single-task window);
+    // it carries the customer count too, so the old full-frame count
+    // window is gone as well.
     "win_pareto_decile" -> ((s, dir) => {
       val rev = Tables.orders(s, dir)
         .groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-      val w = Window.orderBy(col("rev").desc, col("o_custkey").asc)
-      val wn = Window.orderBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
-      val ranked = rev
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      val ranked = GlobalRank.withSeqAndCount(rev, "rk", "n", Seq.empty,
+        Seq(col("rev").desc, col("o_custkey").asc))
       val dec = ranked
         .groupBy((((col("rk") - 1) * 10) / col("n")).cast("int").as("decile"))
         .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("rev_dec"))

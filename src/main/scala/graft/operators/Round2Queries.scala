@@ -73,12 +73,27 @@ object Round2Queries {
     }),
 
     // ---- cumulative window ratios (exact integer divisions) ------------
+    // percent_rank/cume_dist per event_type — but with only 5 event
+    // types each "partition" is corpus/5, so a plain partitionBy window
+    // still funnels a fifth of the table into one task (r5 verdict
+    // item 1). GlobalRank range-partitions on (event_type, value) and
+    // computes the per-type row number in parallel slices; the ANSI
+    // stats then need the TIE GROUP's min/max row number (value is not
+    // unique) — a keyed window over (event_type, value), properly
+    // partitioned. Same doubles: (rank-1)/(n-1) and peers/n over exact
+    // integers.
     "win_cume_dist" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("value")
-      Tables.events(s, dir)
+      val wTie = Window.partitionBy("event_type", "value")
+      GlobalRank.withSeqAndCount(
+          Tables.events(s, dir).select("event_id", "event_type", "value"),
+          "__rk", "__n", Seq("event_type"),
+          // event_id tiebreak: GlobalRank requires a TOTAL order (its two
+          // plan branches must agree on every row's sequence number); the
+          // tie-group min/max below restores ANSI peer semantics exactly
+          Seq(col("value").asc, col("event_id").asc))
         .select(col("event_id"), col("event_type"), col("value"),
-          percent_rank().over(w).as("pr"),
-          cume_dist().over(w).as("cd"))
+          GlobalRank.percentRankFromSeq(min("__rk").over(wTie), col("__n")).as("pr"),
+          GlobalRank.cumeDistFromSeq(max("__rk").over(wTie), col("__n")).as("cd"))
         .orderBy("event_id")
     }),
 

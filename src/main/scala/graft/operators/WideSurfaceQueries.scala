@@ -76,16 +76,17 @@ object WideSurfaceQueries {
 
     // ---- Gini coefficient of customer revenue ---------------------------
     // G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over revenues sorted
-    // ascending (rank window over the customer DIMENSION, orders
-    // pre-aggregated first — same scale posture as agg_rfm_segments).
-    // Both sums are exact decimals; the closed form is 7 IEEE double
-    // ops in a fixed tree.
+    // ascending (GlobalRank's two-pass range-partitioned rank over the
+    // customer DIMENSION, orders pre-aggregated first — no stage
+    // funnels the dim into a single-task window; same scale posture as
+    // agg_rfm_segments). Both sums are exact decimals; the closed form
+    // is 7 IEEE double ops in a fixed tree.
     "agg_gini_revenue" -> ((s, dir) => {
       val rev = Tables.orders(s, dir).groupBy("o_custkey")
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
-      val rk = rev.withColumn("i",
-        row_number().over(Window.orderBy(col("rev").asc, col("o_custkey").asc))
-          .cast(DecimalType(12, 0)))
+      val rk = GlobalRank.withSeq(rev, "__i",
+          Seq(col("rev").asc, col("o_custkey").asc))
+        .withColumn("i", col("__i").cast(DecimalType(12, 0)))
       rk.agg(count(lit(1)).as("n_customers"),
           sum(col("rev")).as("s0"),
           sum(col("i") * col("rev")).as("s1"))

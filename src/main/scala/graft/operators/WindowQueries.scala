@@ -35,13 +35,21 @@ object WindowQueries {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    // Global quartile/percent_rank/cume_dist WITHOUT the single-task
+    // `Window.orderBy` (r5 verdict item 1): GlobalRank's two-pass
+    // range-partitioned row_number replaces the unpartitioned window;
+    // the ordering is unique (o_orderkey tiebreak), so rank = rn and
+    // the three ANSI stats are closed forms over (rn, n) — identical
+    // values, every stage distributed.
     "win_ntile_pct" -> ((s, dir) => {
-      val w = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.orders(s, dir)
+      GlobalRank.withSeqAndCount(
+          Tables.orders(s, dir).select("o_orderkey", "o_totalprice"),
+          "__rk", "__n", Seq.empty,
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc))
         .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).cast("long").as("quartile"),
-          percent_rank().over(w).as("pct_rank"),
-          cume_dist().over(w).as("cume"))
+          GlobalRank.ntileFromSeq("__rk", "__n", 4).cast("long").as("quartile"),
+          GlobalRank.percentRankFromSeq(col("__rk"), col("__n")).as("pct_rank"),
+          GlobalRank.cumeDistFromSeq(col("__rk"), col("__n")).as("cume"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
     }),
 

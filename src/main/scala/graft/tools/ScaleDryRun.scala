@@ -154,8 +154,26 @@ object ScaleDryRun {
         .groupBy("si").count().count()
     }
 
+    // global rank at k× the customer dimension (round 6): GlobalRank's
+    // two-pass range-partitioned row_number (win_pareto_decile's shape)
+    // — every stage keyed or range-sliced, so wall time must track the
+    // dim volume; the r5 single-task Window.orderBy this replaced would
+    // serialize the whole dim through one task here
+    def rankShape(k: Int): Long = {
+      val o = Seq.range(0, k).map(i => orders
+        .withColumn("o_custkey", col("o_custkey") * k + i))
+        .reduce(_ unionAll _)
+      val rev = o.groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      graft.operators.GlobalRank.withSeqAndCount(rev, "rk", "n", Seq.empty,
+          Seq(col("rev").desc, col("o_custkey").asc))
+        .groupBy((((col("rk") - 1) * 10) / col("n")).cast("int").as("decile"))
+        .agg(count(lit(1))).count()
+    }
+
     q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
-    chunkShape(1); contamShape(1); asofShape(1); sessShape(1) // JIT warm-up
+    chunkShape(1); contamShape(1); asofShape(1); sessShape(1)
+    rankShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
@@ -166,7 +184,8 @@ object ScaleDryRun {
       val t7 = time(contamShape(k))
       val t8 = time(asofShape(k))
       val t9 = time(sessShape(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s")
+      val t10 = time(rankShape(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s")
     }
     spark.stop()
   }

@@ -65,13 +65,60 @@ class PlanGuardSpec extends AnyFunSuite {
     "tpch_q11",
     // agg_rfm_segments: 1-row corpus-max-date scalar broadcast into the
     // customer aggregate; sub_any_all: the 1-row (max, min) ALL/ANY
-    // bound pair broadcast into part; llm_vocab_growth: the 1-row
-    // doc-count scalar broadcast into the ranked docs — all
-    // provably-constant broadcasts (as tpch_q22)
-    "agg_rfm_segments", "sub_any_all", "llm_vocab_growth",
+    // bound pair broadcast into part — provably-constant broadcasts (as
+    // tpch_q22). (llm_vocab_growth dropped in r6: GlobalRank carries
+    // the doc count, no scalar cross join remains.)
+    "agg_rfm_segments", "sub_any_all",
     // llm_idf_drift: the 1-row (na, nb) half-size pair broadcast into
     // the token df table (as llm_vocab_growth)
     "llm_idf_drift")
+
+  /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
+    * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
+    * top-k cut whose cardinality is fixed by construction, independent
+    * of data scale), so the single partition holds a handful of rows.
+    * GlobalRank's offsets windows need no entry: they are recognized
+    * structurally (order key `__gr_pid`, input ≤ partitions × groups
+    * rows by construction). The six r5-flagged data-scaled global
+    * windows (win_ntile_pct, agg_rfm_segments, agg_gini_revenue,
+    * llm_vocab_growth, win_pareto_decile, win_cume_dist) must NOT
+    * appear here — their ranks now come from GlobalRank, and this guard
+    * is what keeps that fix from regressing.
+    */
+  private val tinyGlobalWindowAllowlist: Map[String, String] = Map(
+    "win_pareto_decile" -> "cumulative share over the 10-row decile table",
+    "llm_vocab_growth" -> "prefix-sum over the <=10-row decile aggregate",
+    "agg_benford_price" -> "share-of-total over the 9-row first-digit histogram",
+    "llm_mix_resample" -> "corpus-min over the per-lang (5-row) token aggregate",
+    "llm_odds_ratio" -> "corpus total over the per-lang (5-row) token aggregate",
+    "llm_shard_assign" -> "share-of-total over the 16-row shard aggregate",
+    "llm_ann_cell_balance" -> "size rank over the <=64-row IVF cell aggregate",
+    "llm_mix_weights" -> "share window over the per-(lang,source) mix aggregate",
+    "llm_rank_fusion" -> "RRF rank windows over two top-100 cut lists",
+    "llm_source_blocklist" -> "blocklist rank over the source-cardinality aggregate",
+    "stream_late_drop" ->
+      ("watermark lag over the 5-min batch aggregate (calendar-bounded: " +
+        "grows with the time span, never the row count)"))
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  /** All WindowExec nodes with an empty partition spec, recursing
+    * through AQE wrappers (AdaptiveSparkPlanExec is a leaf to collect). */
+  private def unpartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+    val direct = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    val nested = p.collect { case a: AdaptiveSparkPlanExec =>
+      unpartitionedWindows(a.executedPlan) }.flatten
+    direct ++ nested
+  }
+
+  /** GlobalRank's offsets prefix-sum: ordered by the
+    * spark_partition_id-derived `__gr_pid`, so the input is bounded by
+    * the range-partition count times the (few) group count — never by
+    * the data. */
+  private def isGlobalRankOffsets(w: WindowExec): Boolean =
+    w.orderSpec.exists(_.references.exists(_.name == "__gr_pid"))
 
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
@@ -79,9 +126,11 @@ class PlanGuardSpec extends AnyFunSuite {
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no cartesian product and no unexpected BNLJ") {
       PlanCapture.enable()
-      val plan =
-        try fn(spark, sf0001).queryExecution.executedPlan.toString
+      val df =
+        try fn(spark, sf0001)
         finally PlanCapture.disable()
+      val planTree = df.queryExecution.executedPlan
+      val plan = planTree.toString
       val staged = PlanCapture.captured
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
@@ -89,13 +138,38 @@ class PlanGuardSpec extends AnyFunSuite {
         assert(!plan.contains("BroadcastNestedLoopJoin"),
           s"$name plans a BroadcastNestedLoopJoin but is not whitelisted:\n$plan")
       }
+      // Single-partition window guard (r5 verdict item 2): an
+      // unpartitioned WindowExec funnels its whole input through ONE
+      // task. Allowed only for GlobalRank's structurally-bounded
+      // offsets windows and the allowlisted catalog-bounded inputs.
+      val unpart = unpartitionedWindows(planTree).filterNot(isGlobalRankOffsets)
+      if (!tinyGlobalWindowAllowlist.contains(name)) {
+        assert(unpart.isEmpty,
+          s"$name plans ${unpart.size} unpartitioned (single-task) window(s) " +
+            s"over a non-allowlisted input — use GlobalRank or justify in " +
+            s"tinyGlobalWindowAllowlist:\n${unpart.map(_.simpleString(120)).mkString("\n")}\n$plan")
+      } else {
+        // exactness: a stale allowlist entry is itself a guard defect
+        assert(unpart.nonEmpty,
+          s"$name is in tinyGlobalWindowAllowlist but plans no unpartitioned " +
+            s"window — remove the stale entry so the guard stays tight")
+      }
       for ((tag, p) <- staged) {
         val ps = p.toString
         assert(!ps.contains("CartesianProduct"),
           s"$name pre-checkpoint stage '$tag' plans a CartesianProduct:\n$ps")
-        if (!tag.startsWith("ann_")) {
+        if (!tag.startsWith("ann_") && !bnljWhitelist.contains(name)) {
+          // whitelisted queries keep their provably-tiny broadcast even
+          // when it moves behind a checkpoint stage (agg_rfm_segments'
+          // 1-row corpus-max cross join now lives in stage rfm.per)
           assert(!ps.contains("BroadcastNestedLoopJoin"),
             s"$name pre-checkpoint stage '$tag' plans a BNLJ:\n$ps")
+        }
+        val stageUnpart = unpartitionedWindows(p).filterNot(isGlobalRankOffsets)
+        if (!tinyGlobalWindowAllowlist.contains(name)) {
+          assert(stageUnpart.isEmpty,
+            s"$name pre-checkpoint stage '$tag' plans an unpartitioned " +
+              s"(single-task) window:\n$ps")
         }
       }
     }
