@@ -14,6 +14,9 @@ object Bench {
       // cache to hold the whole surface keeps the sf0.001 warm-up's
       // compiled classes hot (measured: llm_dedup_near 8.6 s → ~2 s)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // same pin as Verify/TestSpark: a tz-adjusted timestamp fixture on
+      // a non-UTC host must not shift ntz casts between the two mains
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -28,6 +31,16 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // The warm-up pass above populated the build-once artifact memo
+    // (ANN codebook, pair lists, cluster labels). Left in place, every
+    // timed consumer of an artifact would be a cache hit and the timed
+    // loop would never measure the builds at all. Clearing here makes
+    // the timed loop honest: the FIRST timed consumer of each artifact
+    // pays its full build (so every declared computation is measured
+    // exactly once); later consumers reuse it, which is the declared
+    // build-once semantics. JIT/codegen warm-up is unaffected (the
+    // codegen cache is JVM-level, not part of this memo).
+    graft.tools.IndexCache.clear()
     // drop warm-up garbage (and let the ContextCleaner release its
     // broadcasts) so the first timed query doesn't pay a full GC
     System.gc()

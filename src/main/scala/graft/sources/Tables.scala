@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, FloatType, LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, FloatType, LongType, TimestampNTZType, TimestampType}
 
 /** Canonical loaders for the test star schema (see FIXTURES.md).
   *
@@ -63,14 +63,42 @@ object Tables {
     assertCols(read(spark, dir, "part"), "part",
       Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
 
+  /** Fixture-drift guard for date-carrying columns: name the physical
+    * type found and the fix, instead of dozens of opaque analysis errors
+    * downstream (the events.ts lesson, round 4). */
+  private def unexpectedDateish(table: String, colName: String, dt: DataType): Nothing =
+    throw new IllegalArgumentException(
+      s"$table.$colName read as $dt; expected TimestampNTZType " +
+        "(timestamp[us]/[ms] without tz — the current fixtures), " +
+        "TimestampType or DateType. Fixture drift — compare the generated " +
+        "parquet against FIXTURES.md before touching any query.")
+
+  /** Normalize a date-carrying column to TIMESTAMP_NTZ across the
+    * physical encodings a fixture regeneration plausibly emits
+    * (timestamp[us]/[ms] with or without tz metadata, date32) — the same
+    * drift insurance as events.ts. The driver has regenerated fixtures
+    * with changed physical types twice; o_orderdate/l_shipdate are the
+    * next most likely casualties (r5 verdict item 4). */
+  private def normDateish(df: DataFrame, table: String, colName: String): DataFrame =
+    df.schema(colName).dataType match {
+      case TimestampNTZType => df
+      // tz-adjusted or date32 fixtures: normalize to the same naive
+      // micros wall-clock (UTC session pinned by Verify/Bench/TestSpark)
+      case TimestampType | DateType =>
+        df.withColumn(colName, col(colName).cast("timestamp_ntz"))
+      case other => unexpectedDateish(table, colName, other)
+    }
+
   def orders(spark: SparkSession, dir: String): DataFrame =
-    assertCols(read(spark, dir, "orders"), "orders",
-      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"))
+    normDateish(assertCols(read(spark, dir, "orders"), "orders",
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")),
+      "orders", "o_orderdate")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    assertCols(read(spark, dir, "lineitem"), "lineitem",
+    normDateish(assertCols(read(spark, dir, "lineitem"), "lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
+      "lineitem", "l_shipdate")
 
   /** Fixture-drift guard: name the physical type found and the fix. */
   private def unexpectedTs(dt: DataType): Nothing =
@@ -95,21 +123,23 @@ object Tables {
 
   /** events with `ts` as raw long nanos (for callers that bucket on the
     * long — see BehaviorQueries' tz-free integer-arithmetic contract).
-    * When the fixture carries a timestamp column, the long is synthesized
-    * via `timestampdiff(MICROSECOND, ntz-epoch, ts) * 1000`: integer µs
-    * since the naive epoch, never routed through the session timezone,
-    * so it equals the original int64-nanos fixtures floored to µs and
-    * DuckDB's tz-free `epoch_ns(ts)` on both fixture generations.
+    * NTZ fixtures synthesize the long via `timestampdiff(MICROSECOND,
+    * ntz-epoch, ts) * 1000` (integer µs since the naive epoch, no
+    * timezone involved); a tz-adjusted TIMESTAMP fixture would go
+    * through `unix_micros` (µs since the UTC epoch — also session-tz
+    * free, matching DuckDB's `epoch_ns` on the same instant). Both
+    * equal the original int64-nanos fixtures floored to µs.
     */
   def eventsRawNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
         raw.withColumn("ts",
-          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
-            "cast(ts as timestamp_ntz)) * 1000"))
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case TimestampType =>
+        raw.withColumn("ts", expr("unix_micros(ts) * 1000"))
       case other => unexpectedTs(other)
     }
   }

@@ -19,9 +19,15 @@ import org.apache.spark.sql.SparkSession
   * assignments, per-vector angle table), verified pair lists
   * ([[PairArtifacts]]), and the converged duplicate-cluster label
   * table. A query family's FIRST consumer in a session pays the full
-  * build (so the bench still measures the declared computation exactly
-  * once); derived consumers read the materialized artifact, the same
+  * build; derived consumers read the materialized artifact, the same
   * access pattern they would have against the stored table at 100 TB.
+  *
+  * Bench interplay: the warm-up pass populates this memo, so `Bench`
+  * calls [[clear]] between its warm-up and timed loops — the first
+  * TIMED consumer of each artifact then pays the full build, making
+  * every declared computation measured exactly once in the timed loop
+  * (without the clear, every timed consumer would be a cache hit and
+  * the builds would never be measured at all).
   *
   * Guard interplay: `PlanCapture.enable()` clears this cache, so plan
   * capture always observes a fresh build (the guard can never be

@@ -29,6 +29,40 @@ class FixtureSmokeSpec extends AnyFunSuite {
     }
   }
 
+  for (dir <- dirs; (table, dateCol, load) <- Seq(
+    ("orders", "o_orderdate",
+      (d: String) => Tables.orders(spark, d)),
+    ("lineitem", "l_shipdate",
+      (d: String) => Tables.lineitem(spark, d)))) {
+    test(s"$table loads with ntz $dateCol at $dir") {
+      // same drift insurance as events.ts: the loader must normalize
+      // whatever physical encoding the regenerated fixture carries
+      // (timestamp[us]/[ms], date32) to TIMESTAMP_NTZ or fail with a
+      // one-line diagnosis — never 100 opaque query errors
+      val df = load(dir)
+      assert(df.schema(dateCol).dataType == TimestampNTZType,
+        s"$table.$dateCol normalized to ${df.schema(dateCol).dataType}, " +
+          "expected TIMESTAMP_NTZ")
+      assert(df.limit(1).count() == 1, s"$table at $dir is empty")
+    }
+  }
+
+  test("date32 dispatch path: a date-encoded orders fixture normalizes to ntz midnight") {
+    // synthesize the most likely future drift (timestamp[us] → date32)
+    // and prove the loader lands on the same ntz values at midnight
+    val dir = sf0001
+    val tmp = java.nio.file.Files.createTempDirectory("graft_date_orders").toString
+    spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_orderdate", org.apache.spark.sql.functions.to_date(col("o_orderdate")))
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val viaDate = Tables.orders(spark, tmp)
+    assert(viaDate.schema("o_orderdate").dataType == TimestampNTZType)
+    val a = viaDate.orderBy("o_orderkey").collect()
+    val b = Tables.orders(spark, dir).orderBy("o_orderkey").collect()
+    assert(a.length == b.length)
+    assert(a.sameElements(b), "date32 and ntz-µs orders loader outputs differ")
+  }
+
   for (dir <- dirs) {
     test(s"embeddings loads as array<float> at $dir") {
       import org.apache.spark.sql.types.{ArrayType, FloatType}
@@ -46,6 +80,12 @@ class FixtureSmokeSpec extends AnyFunSuite {
     // otherwise dead code — synthesize that generation by writing the
     // raw-nanos view back as int64 and prove both encodings normalize
     // to the SAME rows, so a driver regen back to ns cannot regress.
+    // LIMITATION: the written column is a plain int64, not a
+    // TIMESTAMP(NANOS)-annotated one, so this exercises the loader's
+    // LongType arm but not the nanosAsLong flag interaction itself
+    // (Spark's writer cannot emit the NANOS annotation to reproduce
+    // that exactly); a regression there would surface as the original
+    // [PARQUET_TYPE_ILLEGAL] error on the real fixture, not here.
     val dir = sf0001
     val tmp = java.nio.file.Files.createTempDirectory("graft_ns_events").toString
     Tables.eventsRawNanos(spark, dir)
