@@ -123,6 +123,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState keeps typed value state and fires event-time timers") {
+    // Spark 4's successor to flatMapGroupsWithState (r5 verdict item 6):
+    // typed per-key ValueState plus REGISTERED TIMERS — the arbitrary-
+    // state API where expiry is an explicit event-time callback instead
+    // of a GroupStateTimeout side effect. Requires the RocksDB state
+    // store provider (set for this query, restored after).
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.Encoders
+    implicit val ctx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Ev]
+    // per user: count events in value state; every touch (re)arms an
+    // event-time timer 10 min after that event's ts; when the watermark
+    // passes it, emit a "closed" row with the final count and clear —
+    // a timer-driven session close, the shape fMGWS cannot express
+    // without piggybacking on timeouts.
+    class SessionTally extends StatefulProcessor[Long, Ev, (Long, String, Long)] {
+      @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(user: Long, evs: Iterator[Ev],
+          tv: TimerValues): Iterator[(Long, String, Long)] = {
+        var n = if (count.exists()) count.get() else 0L
+        var maxTs = Long.MinValue
+        evs.foreach { e => n += 1; maxTs = math.max(maxTs, e.ts.getTime) }
+        count.update(n)
+        getHandle.registerTimer(maxTs + 600000L)
+        Iterator((user, "touch", n))
+      }
+      override def handleExpiredTimer(user: Long, tv: TimerValues,
+          info: ExpiredTimerInfo): Iterator[(Long, String, Long)] = {
+        val n = if (count.exists()) count.get() else 0L
+        count.clear()
+        Iterator((user, "closed", n))
+      }
+    }
+    val out = ms.toDS()
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTally, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "kind", "n")
+    val q = out.writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:00:00"), 1, 1.0), Ev(ts("2024-01-01 10:01:00"), 1, 2.0))
+      q.processAllAvailable()
+      // watermark is still at batch-1's max (10:01), before the 10:11
+      // timer: state must be live, no "closed" row yet
+      val mid = spark.table("tws_out").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(mid.contains((1L, "touch", 2L)), s"got ${mid.toSeq}")
+      assert(!mid.exists(_._2 == "closed"), s"timer fired early: ${mid.toSeq}")
+      // an 11:00 event for user 2 advances the watermark past 10:11 →
+      // user 1's timer fires, emits the final count, clears state
+      ms.addData(Ev(ts("2024-01-01 11:00:00"), 2, 1.0))
+      q.processAllAvailable()
+      val fin = spark.table("tws_out").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(fin.contains((1L, "closed", 2L)), s"got ${fin.toSeq}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     implicit val ctx = spark.sqlContext
     val clicks = MemoryStream[Ev]
