@@ -37,7 +37,8 @@ object SparkEntry {
       CorpusModelQueries.queries ++ WideSurfaceQueries.queries ++
       CohortSignalQueries.queries ++ QualitySignalQueries.queries ++
       RobustStatsQueries.queries ++ SessionSurfaceQueries.queries ++
-      VectorAuditQueries.queries ++ CurationRulesQueries.queries
+      VectorAuditQueries.queries ++ CurationRulesQueries.queries ++
+      Round6Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +61,6 @@ object SparkEntry {
       CorpusModelQueries.oracles ++ WideSurfaceQueries.oracles ++
       CohortSignalQueries.oracles ++ QualitySignalQueries.oracles ++
       RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles ++
-      VectorAuditQueries.oracles ++ CurationRulesQueries.oracles
+      VectorAuditQueries.oracles ++ CurationRulesQueries.oracles ++
+      Round6Queries.oracles
 }

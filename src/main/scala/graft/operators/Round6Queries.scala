@@ -1,0 +1,332 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.QueryUtils._
+import graft.sources.Tables
+
+/** §2.N (r6) — round-6 surface batch: market-concentration and
+  * inequality analytics (HHI, Theil T, Hill tail index), a rolling
+  * OLS trend window, product-quantization ANN codes, and rank-biased
+  * overlap between document rankings.
+  *
+  * Determinism notes (§7.2 conventions): every float-risky reduction
+  * is rounded-then-decimal-summed (Theil/Hill log terms, PQ squared
+  * distances, RBO geometric terms); shares and slopes are exact
+  * decimal/integer numerators with ONE final double division; the two
+  * corpus-wide rankings ride GlobalRank (total orders), never an
+  * unpartitioned window. PQ subspace distances reuse the fold-order
+  * convention the ANN family established: Spark's `aggregate` left
+  * fold over `zip_with` matches DuckDB's `list_aggregate(_, 'sum')`
+  * element order, so argmin code assignment is bit-identical.
+  */
+object Round6Queries {
+
+  val queries: Map[String, QFn] = Map(
+
+    // ---- HHI market concentration -------------------------------------
+    // Herfindahl–Hirschman index of revenue concentration across
+    // nations within each region: share_i = nation revenue / region
+    // revenue, HHI = 10000·Σ share_i². The antitrust-style "is one
+    // nation dominating the region's order volume" audit. One
+    // corpus shuffle (orders → nation revenue); everything after is
+    // nation-cardinality (≤25 rows), so the region window is
+    // dim-bounded. Shares are rounded to 8dp decimal BEFORE squaring:
+    // decimal × decimal is exact on both engines, making the sum
+    // order-free.
+    "agg_hhi_nation" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select("n_nationkey", "n_name", "n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).select("r_regionkey", "r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      val wr = Window.partitionBy("r_name") // ≤25 nation rows per region
+      rev.withColumn("tot", sum("rev").over(wr))
+        .withColumn("share",
+          round(col("rev").cast(DoubleType) / col("tot").cast(DoubleType), 8)
+            .cast(DecimalType(12, 8)))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("tot").cast(DoubleType)).as("region_rev"),
+          (sum(col("share") * col("share")).cast(DoubleType) * 10000).as("hhi"))
+        .orderBy("r_name")
+    }),
+
+    // ---- Theil T inequality index --------------------------------------
+    // Theil T of customer revenue inequality per market segment:
+    // T = (1/n)·Σ (x/μ)·ln(x/μ) over customers with at least one
+    // order (x = exact-decimal revenue, μ = segment mean). The
+    // decomposable complement of agg_gini_revenue. Ratio = x·n/tot is
+    // two IEEE ops in fixed order; each term is rounded to 8dp and
+    // decimal-summed, so the cross-shuffle sum is order-free.
+    "agg_theil_index" -> ((s, dir) => {
+      val cust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"))
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+      val seg = cust.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("x").as("tot"))
+      cust.join(broadcast(seg), "c_mktsegment")
+        .withColumn("ratio",
+          col("x").cast(DoubleType) * col("n") / col("tot").cast(DoubleType))
+        .withColumn("term",
+          round(col("ratio") * log(col("ratio")), 8).cast(DecimalType(18, 8)))
+        .groupBy("c_mktsegment")
+        .agg(max("n").as("n_customers"),
+          (sum("term").cast(DoubleType) / max("n")).as("theil_t"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- Hill tail-index estimator -------------------------------------
+    // Heavy-tail exponent of order totals per market segment: over the
+    // top k=50 order statistics, α̂ = 1 / mean(ln(x_i / x_{k+1})) —
+    // the standard Hill estimator ("how Pareto is the big-order
+    // tail"). The per-segment top-(k+1) cut rides GlobalRank (segment
+    // groups are corpus-sized — a plain partitionBy window would put
+    // corpus/5 rows in one task at scale); everything after the cut is
+    // 5·51 rows. Log terms rounded-then-decimal-summed.
+    "agg_tail_hill" -> ((s, dir) => {
+      val k = 50
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"),
+          col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      val ranked = GlobalRank.withSeqAndCount(o, "rn", "n_all",
+          Seq("c_mktsegment"), Seq(col("p").desc, col("o_orderkey")))
+        .where(col("rn") <= k + 1)
+      val xk1 = ranked.where(col("rn") === k + 1)
+        .select(col("c_mktsegment"), col("p").as("xk1"))
+      ranked.where(col("rn") <= k)
+        .join(broadcast(xk1), "c_mktsegment")
+        .withColumn("term",
+          round(log(col("p").cast(DoubleType) / col("xk1").cast(DoubleType)), 8)
+            .cast(DecimalType(18, 8)))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("k_used"),
+          max(col("xk1").cast(DoubleType)).as("x_kplus1"),
+          round(lit(1.0) / (sum("term").cast(DoubleType) / count(lit(1))), 6)
+            .as("hill_alpha"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- rolling OLS slope ---------------------------------------------
+    // Per-user trend detector: the OLS slope of value against the
+    // event sequence index over the last 10 events —
+    // slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) with x = row number
+    // (integer) and y = value as decimal(18,6), so every frame sum is
+    // exact and the single double division is the only rounding.
+    // User-keyed ROWS frames — scale-safe.
+    "win_rolling_slope" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val f = w.rowsBetween(-9, 0)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value").cast(DecimalType(18, 6)).as("y"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+      ev.withColumn("sy", sum("y").over(f))
+        .withColumn("sxy", sum(col("y") * col("rn")).over(f))
+        .withColumn("sx", sum("rn").over(f))
+        .withColumn("sxx", sum(col("rn") * col("rn")).over(f))
+        .where(col("rn") >= 10)
+        .select(col("user_id"), col("event_id"),
+          ((lit(10) * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (lit(10) * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+            .as("slope10"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // ---- product-quantization ANN codes --------------------------------
+    // The memory-compressed ANN path: split each 64-dim embedding into
+    // 8 contiguous 8-dim subspaces, quantize each subvector to its
+    // nearest codeword (L2, ties → lowest code id) from a 16-entry
+    // codebook per subspace (deterministically the subvectors of
+    // vec_id 1..16), and emit the 8-byte PQ code plus the total
+    // quantization error. At 100 TB this is how embeddings fit in
+    // executor memory for ANN re-ranking: 8 code bytes instead of 256
+    // vector bytes, codebook broadcast (128 rows by construction),
+    // assignment map-side — the only corpus shuffle is the final sort.
+    "llm_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("ev"))
+      val subs = (0 until 8).map(j =>
+        struct(lit(j).as("j"), slice(col("ev"), j * 8 + 1, 8).as("sv")))
+      val vecSub = e.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+      val code = vecSub.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").cast("int").as("c"), col("j").as("cj"),
+          col("sv").as("cw"))
+      val dist = vecSub.join(broadcast(code), col("j") === col("cj"))
+        .select(col("vec_id"), col("j"), col("c"),
+          aggregate(zip_with(col("sv"), col("cw"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("d2"))
+      val best = dist.groupBy("vec_id", "j")
+        .agg(min(struct(col("d2"), col("c"))).as("b"))
+        .select(col("vec_id"), col("j"), col("b.c").as("c"), col("b.d2").as("d2"))
+      best.groupBy("vec_id")
+        .agg(concat_ws(":",
+            transform(array_sort(collect_list(struct(col("j"), col("c")))),
+              p => p.getField("c").cast("string"))).as("pq_code"),
+          sum(round(col("d2"), 8).cast(DecimalType(18, 8))).cast(DoubleType)
+            .as("qerr"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- rank-biased overlap of two document rankings ------------------
+    // RBO@100 (p = 0.9) between ranking A (docs by n_chars desc) and
+    // ranking B (docs by whitespace token count desc): the IR-standard
+    // top-weighted agreement measure — RBO = (1−p)·Σ_d p^(d−1)·ov(d)/d
+    // where ov(d) = |top-d(A) ∩ top-d(B)|. Both corpus-wide rankings
+    // ride GlobalRank; after the top-100 cuts everything is ≤100 rows.
+    // ov(d) is built without a theta join or unpartitioned window:
+    // each intersecting doc at depth m contributes to every d ≥ m via
+    // an exploded sequence, unioned with a zero row per depth so empty
+    // depths survive.
+    "llm_rbo_rankings" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"), nTok.as("n_tok"))
+      val ra = GlobalRank.withSeq(d, "ra", Seq(col("n_chars").desc, col("doc_id")))
+        .where(col("ra") <= 100).select(col("doc_id"), col("ra"))
+      val rb = GlobalRank.withSeq(d, "rb", Seq(col("n_tok").desc, col("doc_id")))
+        .where(col("rb") <= 100).select(col("doc_id"), col("rb"))
+      val contrib = ra.join(rb, "doc_id")
+        .select(explode(sequence(greatest(col("ra"), col("rb")), lit(100L)))
+          .as("d"), lit(1L).as("cnt"))
+      val depths = Tables.region(s, dir).limit(1)
+        .select(explode(sequence(lit(1L), lit(100L))).as("d"), lit(0L).as("cnt"))
+      depths.unionAll(contrib)
+        .groupBy("d").agg(sum("cnt").as("ov"))
+        .select(
+          round(pow(lit(0.9), col("d") - 1) * col("ov") / col("d"), 8)
+            .cast(DecimalType(18, 8)).as("term"),
+          when(col("d") === 10, col("ov")).as("ov10"),
+          when(col("d") === 100, col("ov")).as("ov100"))
+        .agg((sum("term").cast(DoubleType) * 0.1).as("rbo"),
+          max("ov10").as("overlap_at_10"),
+          max("ov100").as("overlap_at_100"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "agg_hhi_nation" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name, n_name),
+        |sh AS (SELECT r_name, rev,
+        |    sum(rev) OVER (PARTITION BY r_name) AS tot,
+        |    CAST(round(CAST(rev AS DOUBLE)
+        |      / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE), 8)
+        |      AS DECIMAL(12,8)) AS share
+        |  FROM rev)
+        |SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |  max(CAST(tot AS DOUBLE)) AS region_rev,
+        |  CAST(sum(share * share) AS DOUBLE) * 10000 AS hhi
+        |FROM sh GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "agg_theil_index" ->
+      """WITH cust AS (SELECT o_custkey, c_mktsegment,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY o_custkey, c_mktsegment),
+        |seg AS (SELECT c_mktsegment, count(*) AS n, sum(x) AS tot
+        |  FROM cust GROUP BY c_mktsegment),
+        |t AS (SELECT cust.c_mktsegment, seg.n,
+        |    CAST(round((CAST(x AS DOUBLE) * n / CAST(tot AS DOUBLE))
+        |      * ln(CAST(x AS DOUBLE) * n / CAST(tot AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS term
+        |  FROM cust JOIN seg ON cust.c_mktsegment = seg.c_mktsegment)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n_customers,
+        |  CAST(sum(term) AS DOUBLE) / max(n) AS theil_t
+        |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_tail_hill" ->
+      """WITH o AS (SELECT c_mktsegment, o_orderkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |rk AS (SELECT c_mktsegment, o_orderkey, p,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY p DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM o QUALIFY rn <= 51),
+        |xk AS (SELECT c_mktsegment, p AS xk1 FROM rk WHERE rn = 51),
+        |t AS (SELECT rk.c_mktsegment, xk.xk1,
+        |    CAST(round(ln(CAST(rk.p AS DOUBLE) / CAST(xk.xk1 AS DOUBLE)), 8)
+        |      AS DECIMAL(18,8)) AS term
+        |  FROM rk JOIN xk ON rk.c_mktsegment = xk.c_mktsegment
+        |  WHERE rk.rn <= 50)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS k_used,
+        |  max(CAST(xk1 AS DOUBLE)) AS x_kplus1,
+        |  round(1.0 / (CAST(sum(term) AS DOUBLE) / count(*)), 6) AS hill_alpha
+        |FROM t GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "win_rolling_slope" ->
+      """WITH ev AS (SELECT user_id, event_id, ts,
+        |    CAST(value AS DECIMAL(18,6)) AS y,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, rn,
+        |    sum(y) OVER w AS sy,
+        |    sum(y * rn) OVER w AS sxy,
+        |    sum(rn) OVER w AS sx,
+        |    sum(rn * rn) OVER w AS sxx
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id,
+        |  CAST(10 * sxy - sx * sy AS DOUBLE)
+        |    / CAST(10 * sxx - sx * sx AS DOUBLE) AS slope10
+        |FROM s WHERE rn >= 10 ORDER BY user_id, event_id""".stripMargin,
+
+    "llm_ann_pq" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |vs AS (SELECT vec_id, j, ev[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js),
+        |cb AS (SELECT CAST(vec_id AS INT) AS c, j AS cj, sv AS cw
+        |  FROM vs WHERE vec_id BETWEEN 1 AND 16),
+        |d AS (SELECT v.vec_id, v.j, cb.c,
+        |    list_aggregate(list_transform(list_zip(v.sv, cb.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2
+        |  FROM vs v JOIN cb ON v.j = cb.cj),
+        |b AS (SELECT vec_id, j, c, d2 FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1)
+        |SELECT vec_id, string_agg(c::VARCHAR, ':' ORDER BY j) AS pq_code,
+        |  CAST(sum(CAST(round(d2, 8) AS DECIMAL(18,8))) AS DOUBLE) AS qerr
+        |FROM b GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "llm_rbo_rankings" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+        |  FROM documents),
+        |ra AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS ra
+        |  FROM d QUALIFY ra <= 100),
+        |rb AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rb
+        |  FROM d QUALIFY rb <= 100),
+        |m AS (SELECT greatest(ra.ra, rb.rb) AS m
+        |  FROM ra JOIN rb ON ra.doc_id = rb.doc_id),
+        |ds AS (SELECT unnest(generate_series(1, 100)) AS dd),
+        |ov AS (SELECT dd, count(m.m) AS ov
+        |  FROM ds LEFT JOIN m ON m.m <= ds.dd GROUP BY dd)
+        |SELECT CAST(sum(CAST(round(pow(0.9, dd - 1) * ov / dd, 8)
+        |    AS DECIMAL(18,8))) AS DOUBLE) * 0.1 AS rbo,
+        |  CAST(max(CASE WHEN dd = 10 THEN ov END) AS BIGINT) AS overlap_at_10,
+        |  CAST(max(CASE WHEN dd = 100 THEN ov END) AS BIGINT) AS overlap_at_100
+        |FROM ov""".stripMargin
+  )
+}

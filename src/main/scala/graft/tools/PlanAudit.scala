@@ -44,7 +44,13 @@ object PlanAudit {
       // round-5: the events family recovered by the ts-encoding dispatch
       // — prove the µs-ntz read path still pushes down and plans tight
       "scan_events_nanos", "join_asof", "win_range_time", "agg_funnel",
-      "stream_session_native", "win_sessionize", "agg_regr_per_user")
+      "stream_session_native", "win_sessionize", "agg_regr_per_user",
+      // round-6: the GlobalRank rewrites (range-partitioned global rank
+      // replacing single-task windows) and the new surface batch
+      "win_ntile_pct", "agg_gini_revenue", "win_cume_dist",
+      "llm_vocab_growth", "agg_tail_hill", "llm_ann_pq",
+      "llm_rbo_rankings", "agg_hhi_nation", "agg_theil_index",
+      "win_rolling_slope")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

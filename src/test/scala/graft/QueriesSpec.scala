@@ -46,7 +46,8 @@ class QueriesSpec extends AnyFunSuite {
       CorpusModelQueries.queries, WideSurfaceQueries.queries,
       CohortSignalQueries.queries, QualitySignalQueries.queries,
       RobustStatsQueries.queries, SessionSurfaceQueries.queries,
-      VectorAuditQueries.queries, CurationRulesQueries.queries)
+      VectorAuditQueries.queries, CurationRulesQueries.queries,
+      Round6Queries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
