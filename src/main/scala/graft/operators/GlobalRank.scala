@@ -105,6 +105,46 @@ object GlobalRank {
     withSeqAndCount(df, rnCol, "__gr_n", Seq.empty, order, partitions)
       .drop("__gr_n")
 
+  private val LMAX = "__gr_lmax"
+  private val PMAX = "__gr_pmax"
+
+  /** `df` plus `pmCol` = the running maximum of `valCol` over all rows
+    * STRICTLY BEFORE the current row in the total `order` (NULL for the
+    * globally first row) — the distributed prefix-scan sibling of
+    * `withSeqAndCount`, and the idiom behind skyline/Pareto-frontier
+    * selection ("does any earlier row dominate me").
+    *
+    * Same two-pass shape, same contract (`order` must be TOTAL): range
+    * partition on the order; a per-slice exclusive running max via a
+    * PID-KEYED window (each task scans one slice — n/P rows, ordinary
+    * shuffle granularity, never the whole table); and a broadcast P-row
+    * exclusive-prefix slice-max table (its window orders by `__gr_pid`,
+    * so PlanGuardSpec recognizes the bounded shape structurally). The
+    * final value is `greatest(local, prefix)` — Spark's greatest skips
+    * NULLs, so a slice's first row inherits the prior slices' max and
+    * only the global first row stays NULL.
+    */
+  def withRunningMaxBefore(df: DataFrame, valCol: Column, pmCol: String,
+      order: Seq[Column], partitions: Int = 32): DataFrame = {
+    val ranged = df.repartitionByRange(partitions, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn(MID, monotonically_increasing_id())
+      .withColumn(PID, shiftright(col(MID), 33).cast("int"))
+    val wLocal = Window.partitionBy(PID).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = ranged.groupBy(col(PID)).agg(max(valCol).as(LMAX))
+    val wPrefix = Window.orderBy(PID)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stats
+      .withColumn(PMAX, max(LMAX).over(wPrefix))
+      .select(col(PID), col(PMAX))
+    ranged
+      .withColumn(LMAX, max(valCol).over(wLocal))
+      .join(broadcast(offsets), Seq(PID))
+      .withColumn(pmCol, greatest(col(LMAX), col(PMAX)))
+      .drop(MID, PID, LMAX, PMAX)
+  }
+
   /** ANSI `ntile(buckets)` from a 1-based row number column `rn` and the
     * partition row count column `n` — exact integer arithmetic (`div`,
     * never double `/`), identical to Spark's and DuckDB's NTile: the

@@ -9,8 +9,10 @@ import graft.sources.Tables
 
 /** §2.N (r6) — round-6 surface batch: market-concentration and
   * inequality analytics (HHI, Theil T, Hill tail index), a rolling
-  * OLS trend window, product-quantization ANN codes, and rank-biased
-  * overlap between document rankings.
+  * OLS trend window, product-quantization ANN codes + ADC search,
+  * rank-biased overlap between document rankings, a 2-D skyline via
+  * the distributed prefix scan, a windowed streaming top-k, and a
+  * right-censored Kaplan–Meier survival estimator.
   *
   * Determinism notes (§7.2 conventions): every float-risky reduction
   * is rounded-then-decimal-summed (Theil/Hill log terms, PQ squared
@@ -23,6 +25,34 @@ import graft.sources.Tables
   * element order, so argmin code assignment is bit-identical.
   */
 object Round6Queries {
+
+  /** PQ code assignment shared by `llm_ann_pq` (codes + error) and
+    * `llm_ann_pq_adc` (asymmetric-distance search): one row per
+    * (vec_id, subspace) with the argmin codeword and its squared
+    * distance. Codebook = the subvectors of vec_id 1..16 (128 rows by
+    * construction — always broadcast); distances are left-fold sums
+    * matching DuckDB's `list_aggregate 'sum'` element order, so the
+    * argmin (ties → lowest code id) is bit-identical cross-engine.
+    */
+  private def pqAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("ev"))
+    val subs = (0 until 8).map(j =>
+      struct(lit(j).as("j"), slice(col("ev"), j * 8 + 1, 8).as("sv")))
+    val vecSub = e.select(col("vec_id"), explode(array(subs: _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val code = vecSub.where(col("vec_id").between(1, 16))
+      .select(col("vec_id").cast("int").as("c"), col("j").as("cj"),
+        col("sv").as("cw"))
+    val dist = vecSub.join(broadcast(code), col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("c"),
+        aggregate(zip_with(col("sv"), col("cw"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d2"))
+    dist.groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("c"))).as("b"))
+      .select(col("vec_id"), col("j"), col("b.c").as("c"), col("b.d2").as("d2"))
+  }
 
   val queries: Map[String, QFn] = Map(
 
@@ -155,24 +185,7 @@ object Round6Queries {
     // vector bytes, codebook broadcast (128 rows by construction),
     // assignment map-side — the only corpus shuffle is the final sort.
     "llm_ann_pq" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast(DoubleType)).as("ev"))
-      val subs = (0 until 8).map(j =>
-        struct(lit(j).as("j"), slice(col("ev"), j * 8 + 1, 8).as("sv")))
-      val vecSub = e.select(col("vec_id"), explode(array(subs: _*)).as("s"))
-        .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      val code = vecSub.where(col("vec_id").between(1, 16))
-        .select(col("vec_id").cast("int").as("c"), col("j").as("cj"),
-          col("sv").as("cw"))
-      val dist = vecSub.join(broadcast(code), col("j") === col("cj"))
-        .select(col("vec_id"), col("j"), col("c"),
-          aggregate(zip_with(col("sv"), col("cw"), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x).as("d2"))
-      val best = dist.groupBy("vec_id", "j")
-        .agg(min(struct(col("d2"), col("c"))).as("b"))
-        .select(col("vec_id"), col("j"), col("b.c").as("c"), col("b.d2").as("d2"))
-      best.groupBy("vec_id")
+      pqAssign(s, dir).groupBy("vec_id")
         .agg(concat_ws(":",
             transform(array_sort(collect_list(struct(col("j"), col("c")))),
               p => p.getField("c").cast("string"))).as("pq_code"),
@@ -213,6 +226,150 @@ object Round6Queries {
         .agg((sum("term").cast(DoubleType) * 0.1).as("rbo"),
           max("ov10").as("overlap_at_10"),
           max("ov100").as("overlap_at_100"))
+    }),
+
+    // ---- 2-D skyline (Pareto frontier) ---------------------------------
+    // Line items not dominated on (price, quantity): keep a row iff no
+    // other has ≥ on both with > on one. Classic skyline via the
+    // distributed prefix scan: group to (price, max qty), then a
+    // strictly-before running max of qty in price-descending order
+    // (GlobalRank.withRunningMaxBefore — range-partitioned, never a
+    // single-task window); frontier points are where qty exceeds every
+    // higher-priced row's qty. The frontier is bounded by the quantity
+    // domain (each point has strictly larger qty), so the row
+    // re-attachment join broadcasts it.
+    "topk_skyline" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      val g = li.groupBy("price").agg(max("qty").as("gq"))
+      val pm = GlobalRank.withRunningMaxBefore(g, col("gq"), "pm",
+        Seq(col("price").desc))
+      val frontier = pm.where(col("pm").isNull || col("gq") > col("pm"))
+        .select(col("price").as("fp"), col("gq").as("fq"))
+      li.join(broadcast(frontier),
+          col("price") === col("fp") && col("qty") === col("fq"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("price").cast(DoubleType).as("price"),
+          col("qty").cast(DoubleType).as("qty"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ---- PQ asymmetric-distance top-k search ---------------------------
+    // The search half of the PQ pipeline: precompute the query vector's
+    // 16×8 lookup table of subspace distances to every codeword, then
+    // score each vector as the SUM OF TABLE LOOKUPS over its 8 codes —
+    // never touching the original vectors. This is how PQ serves ANN at
+    // 100 TB: codes are 8 bytes/vector in executor memory, the LUT is
+    // 128 broadcast rows, scoring is one equi-join + grouped sum, and
+    // the top-k plans as TakeOrderedAndProject.
+    "llm_ann_pq_adc" -> ((s, dir) => {
+      val best = pqAssign(s, dir)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast(DoubleType)).as("ev"))
+      val qsubs = (0 until 8).map(j =>
+        struct(lit(j).as("j"), slice(col("ev"), j * 8 + 1, 8).as("sv")))
+      val qsub = e.where(col("vec_id") === 0)
+        .select(explode(array(qsubs: _*)).as("s"))
+        .select(col("s.j").as("lj"), col("s.sv").as("qv"))
+      val cb = e.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").cast("int").as("lc"),
+          explode(array(qsubs: _*)).as("s"))
+        .select(col("lc"), col("s.j").as("cj"), col("s.sv").as("cw"))
+      val lut = cb.join(broadcast(qsub), col("cj") === col("lj"))
+        .select(col("lc"), col("cj"),
+          aggregate(zip_with(col("qv"), col("cw"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x).as("qd2"))
+      best.where(col("vec_id") =!= 0)
+        .join(broadcast(lut), col("j") === col("cj") && col("c") === col("lc"))
+        .groupBy("vec_id")
+        .agg(sum(round(col("qd2"), 8).cast(DecimalType(18, 8)))
+          .cast(DoubleType).as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // ---- windowed streaming top-k --------------------------------------
+    // Top-3 events by value per 6-hour tumbling window — the
+    // batch-checkable form of a streaming leaderboard. The rank window
+    // partitions by window start, so parallelism grows with the time
+    // span and per-task work is bounded by the event rate, never the
+    // corpus.
+    "stream_topk_window" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(window(col("ts"), "6 hours").getField("start").as("ws"),
+          col("event_id"), col("event_type"), col("value"))
+      val w = Window.partitionBy("ws").orderBy(col("value").desc, col("event_id"))
+      e.withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3)
+        .select(col("ws"), col("rk"), col("event_id"), col("event_type"),
+          col("value"))
+        .orderBy("ws", "rk")
+    }),
+
+    // ---- Kaplan–Meier repurchase survival ------------------------------
+    // Survival of "time to next order" per market segment with proper
+    // right-censoring: every consecutive-order gap is an event, every
+    // customer's last-order→corpus-horizon span is a censored
+    // observation. KM: S(t) = Π_{tᵢ≤t} (1 − dᵢ/nᵢ) over event days,
+    // evaluated at a 7/14/30/60/90-day grid. Day cardinality is
+    // calendar-bounded, so after the per-(segment, day) aggregate every
+    // frame is tiny; the product is a rounded-then-decimal-summed log
+    // sum (order-free), exponentiated once. The corpus horizon is a
+    // 1-row scalar broadcast (PlanGuard-whitelisted, as agg_rfm's
+    // max-date scalar).
+    "agg_survival_km" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_custkey"),
+          col("o_orderdate"), col("o_orderkey"))
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val ev = o.withColumn("prev", lag("o_orderdate", 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("seg"),
+          datediff(col("o_orderdate"), col("prev")).cast("long").as("t"),
+          lit(1L).as("e"))
+      val horizon = Tables.orders(s, dir)
+        .agg(max("o_orderdate").as("h"))
+      val cen = o.groupBy("seg", "o_custkey")
+        .agg(max("o_orderdate").as("ld"))
+        .crossJoin(broadcast(horizon))
+        .select(col("seg"), datediff(col("h"), col("ld")).cast("long").as("t"),
+          lit(0L).as("e"))
+      val da = ev.unionAll(cen).groupBy("seg", "t")
+        .agg(sum("e").as("d"), count(lit(1)).as("m"))
+      val wseg = Window.partitionBy("seg").orderBy("t")
+      val km = da
+        .withColumn("tm", sum("m").over(Window.partitionBy("seg")))
+        .withColumn("before",
+          coalesce(sum("m").over(wseg.rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("n", col("tm") - col("before"))
+        .where(col("d") > 0 && col("t") <= 90 && col("t") > 0)
+        .withColumn("term",
+          round(log(lit(1.0) - col("d").cast(DoubleType) / col("n")), 8)
+            .cast(DecimalType(18, 8)))
+        .withColumn("logS",
+          sum("term").over(wseg.rowsBetween(Window.unboundedPreceding, 0)))
+      // evaluate at the grid: each event day covers every grid point ≥ it
+      val atGrid = km.select(col("seg"), col("t"), col("logS"),
+          explode(filter(array(lit(7L), lit(14L), lit(30L), lit(60L), lit(90L)),
+            g => g >= col("t"))).as("t_day"))
+        .groupBy("seg", "t_day")
+        .agg(max(struct(col("t"), col("logS"))).as("b"))
+        .select(col("seg"), col("t_day"), col("b.logS").as("logS"))
+      // every (segment, grid) row survives, S = 1 where no event ≤ g
+      val base = o.select(col("seg")).distinct()
+        .select(col("seg"), explode(array(lit(7L), lit(14L), lit(30L),
+          lit(60L), lit(90L))).as("t_day"))
+      base.join(atGrid, Seq("seg", "t_day"), "left")
+        .select(col("seg").as("c_mktsegment"), col("t_day"),
+          round(exp(coalesce(col("logS").cast(DoubleType), lit(0.0))), 6)
+            .as("survival"))
+        .orderBy("c_mktsegment", "t_day")
     })
   )
 
@@ -327,6 +484,94 @@ object Round6Queries {
         |    AS DECIMAL(18,8))) AS DOUBLE) * 0.1 AS rbo,
         |  CAST(max(CASE WHEN dd = 10 THEN ov END) AS BIGINT) AS overlap_at_10,
         |  CAST(max(CASE WHEN dd = 100 THEN ov END) AS BIGINT) AS overlap_at_100
-        |FROM ov""".stripMargin
+        |FROM ov""".stripMargin,
+
+    "topk_skyline" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem),
+        |g AS (SELECT price, max(qty) AS gq FROM li GROUP BY price),
+        |p AS (SELECT price, gq, max(gq) OVER (ORDER BY price DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM g),
+        |f AS (SELECT price, gq FROM p WHERE pm IS NULL OR gq > pm)
+        |SELECT l_orderkey, l_linenumber, CAST(li.price AS DOUBLE) AS price,
+        |  CAST(li.qty AS DOUBLE) AS qty
+        |FROM li JOIN f ON li.price = f.price AND li.qty = f.gq
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "llm_ann_pq_adc" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |vs AS (SELECT vec_id, j, ev[j*8+1 : j*8+8] AS sv FROM e CROSS JOIN js),
+        |cb AS (SELECT CAST(vec_id AS INT) AS c, j AS cj, sv AS cw
+        |  FROM vs WHERE vec_id BETWEEN 1 AND 16),
+        |d AS (SELECT v.vec_id, v.j, cb.c,
+        |    list_aggregate(list_transform(list_zip(v.sv, cb.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS d2
+        |  FROM vs v JOIN cb ON v.j = cb.cj),
+        |b AS (SELECT vec_id, j, c FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c) = 1),
+        |lut AS (SELECT cb.c AS lc, cb.cj,
+        |    list_aggregate(list_transform(list_zip(q.sv, cb.cw),
+        |      p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS qd2
+        |  FROM cb JOIN (SELECT j, sv FROM vs WHERE vec_id = 0) q ON cb.cj = q.j)
+        |SELECT b.vec_id,
+        |  CAST(sum(CAST(round(lut.qd2, 8) AS DECIMAL(18,8))) AS DOUBLE)
+        |    AS adc_dist
+        |FROM b JOIN lut ON b.j = lut.cj AND b.c = lut.lc
+        |WHERE b.vec_id <> 0
+        |GROUP BY b.vec_id ORDER BY adc_dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "stream_topk_window" ->
+      """WITH e AS (SELECT
+        |    make_timestamp((epoch_us(ts) // 21600000000) * 21600000000) AS ws,
+        |    event_id, event_type, value
+        |  FROM events),
+        |r AS (SELECT ws, event_id, event_type, value,
+        |    CAST(row_number() OVER (PARTITION BY ws
+        |      ORDER BY value DESC, event_id) AS BIGINT) AS rk
+        |  FROM e)
+        |SELECT ws, rk, event_id, event_type, value
+        |FROM r WHERE rk <= 3 ORDER BY ws, rk""".stripMargin,
+
+    "agg_survival_km" ->
+      """WITH o AS (SELECT c_mktsegment AS seg, o_custkey, o_orderdate, o_orderkey
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |ev AS (SELECT seg,
+        |    CAST(date_diff('day', lag(o_orderdate) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |      o_orderdate) AS BIGINT) AS t, 1 AS e
+        |  FROM o QUALIFY t IS NOT NULL),
+        |hz AS (SELECT max(o_orderdate) AS h FROM orders),
+        |cen AS (SELECT seg,
+        |    CAST(date_diff('day', max(o_orderdate), max(h)) AS BIGINT) AS t,
+        |    0 AS e
+        |  FROM o CROSS JOIN hz GROUP BY seg, o_custkey),
+        |da AS (SELECT seg, t, sum(e) AS d, count(*) AS m
+        |  FROM (SELECT * FROM ev UNION ALL SELECT * FROM cen) GROUP BY seg, t),
+        |cum AS (SELECT seg, t, d,
+        |    sum(m) OVER (PARTITION BY seg)
+        |      - coalesce(sum(m) OVER (PARTITION BY seg ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+        |  FROM da),
+        |km AS (SELECT seg, t,
+        |    sum(CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n), 8)
+        |        AS DECIMAL(18,8)))
+        |      OVER (PARTITION BY seg ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logS
+        |  FROM cum WHERE d > 0 AND t <= 90 AND t > 0),
+        |grid AS (SELECT seg, unnest([7, 14, 30, 60, 90]) AS t_day
+        |  FROM (SELECT DISTINCT seg FROM o)),
+        |pick AS (SELECT km.seg, g.t_day, max_by(km.logS, km.t) AS logS
+        |  FROM km JOIN grid g ON km.seg = g.seg AND km.t <= g.t_day
+        |  GROUP BY km.seg, g.t_day)
+        |SELECT grid.seg AS c_mktsegment, CAST(grid.t_day AS BIGINT) AS t_day,
+        |  round(exp(coalesce(CAST(pick.logS AS DOUBLE), 0.0)), 6) AS survival
+        |FROM grid LEFT JOIN pick
+        |  ON grid.seg = pick.seg AND grid.t_day = pick.t_day
+        |ORDER BY c_mktsegment, t_day""".stripMargin
   )
 }

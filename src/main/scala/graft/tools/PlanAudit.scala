@@ -50,7 +50,8 @@ object PlanAudit {
       "win_ntile_pct", "agg_gini_revenue", "win_cume_dist",
       "llm_vocab_growth", "agg_tail_hill", "llm_ann_pq",
       "llm_rbo_rankings", "agg_hhi_nation", "agg_theil_index",
-      "win_rolling_slope")
+      "win_rolling_slope", "topk_skyline", "llm_ann_pq_adc",
+      "stream_topk_window", "agg_survival_km")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

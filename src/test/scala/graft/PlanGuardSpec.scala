@@ -71,7 +71,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_rfm_segments", "sub_any_all",
     // llm_idf_drift: the 1-row (na, nb) half-size pair broadcast into
     // the token df table (as llm_vocab_growth)
-    "llm_idf_drift")
+    "llm_idf_drift",
+    // agg_survival_km: the 1-row corpus-horizon max-date scalar
+    // broadcast into the per-customer censor rows (as agg_rfm_segments)
+    "agg_survival_km")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

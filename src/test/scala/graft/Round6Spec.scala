@@ -71,4 +71,53 @@ class Round6Spec extends AnyFunSuite {
     assert(ov10 >= 0 && ov10 <= 10)
     assert(ov100 >= ov10 && ov100 <= 100)
   }
+
+  test("topk_skyline: frontier rows are mutually non-dominated and complete") {
+    val rows = SparkEntry.queries("topk_skyline")(spark, sf0001).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // no frontier row strictly dominated by another frontier row
+    for (a <- rows; b <- rows if a != b)
+      assert(!(b._1 >= a._1 && b._2 >= a._2 && (b._1 > a._1 || b._2 > a._2)),
+        s"$a dominated by $b")
+    // the max-price and max-qty rows are always on the frontier
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .selectExpr("max(l_extendedprice)", "max(l_quantity)").collect().head
+    assert(rows.exists(_._1 == li.getDouble(0)))
+    assert(rows.exists(_._2 == li.getDouble(1)))
+  }
+
+  test("llm_ann_pq_adc: 10 hits, non-negative estimated distances, self excluded") {
+    val rows = SparkEntry.queries("llm_ann_pq_adc")(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getDouble(1) >= 0.0))
+    assert(!rows.exists(_.getLong(0) == 0L))
+    // ADC estimates are sorted ascending (nearest first)
+    val d = rows.map(_.getDouble(1))
+    assert(d.zip(d.tail).forall { case (x, y) => x <= y })
+  }
+
+  test("stream_topk_window: at most 3 per window, rank 1 is the window max") {
+    val rows = SparkEntry.queries("stream_topk_window")(spark, sf0001).collect()
+    val byW = rows.groupBy(_.get(0))
+    assert(byW.values.forall(_.length <= 3))
+    for ((_, g) <- byW) {
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 1L)
+      // value is non-increasing down the ranks
+      val vs = sorted.map(_.getDouble(4))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("agg_survival_km: survival in [0,1], non-increasing along the grid") {
+    val rows = SparkEntry.queries("agg_survival_km")(spark, sf0001).collect()
+    assert(rows.length == 25) // 5 segments × 5 grid days
+    for ((_, g) <- rows.groupBy(_.getString(0))) {
+      val s = g.sortBy(_.getLong(1)).map(_.getDouble(2))
+      assert(s.forall(x => x >= 0.0 && x <= 1.0))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b },
+        s"not monotone: ${s.mkString(",")}")
+    }
+  }
 }
