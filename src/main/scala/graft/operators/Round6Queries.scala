@@ -370,6 +370,104 @@ object Round6Queries {
           round(exp(coalesce(col("logS").cast(DoubleType), lit(0.0))), 6)
             .as("survival"))
         .orderBy("c_mktsegment", "t_day")
+    }),
+
+    // ---- OHLC daily resampling -----------------------------------------
+    // Open/high/low/close/volume bars per (user, day) — the standard
+    // time-series resampler. Open/close are picked at INTEGER ranks
+    // under the total (ts, event_id) order (no `first` over an
+    // unframed window, no arbitrary-row semantics); volume is the
+    // exact-decimal sum. Everything is (user, day)-keyed — one shuffle,
+    // frames bounded by a day's events per user.
+    "win_ohlc_daily" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .withColumn("day", col("ts").cast("date"))
+      val wa = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+      val wd = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("ra") === 1, col("value"))).as("open"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          max("value").as("high"), min("value").as("low"),
+          decSum(col("value")).as("volume"))
+        .orderBy("user_id", "day")
+    }),
+
+    // ---- Bloom-prefiltered incremental dedup ---------------------------
+    // The 100 TB crawl-ingest prefilter: a FIXED-SIZE bit array (2^16
+    // positions packed into 60-bit words — ~1100 rows regardless of
+    // corpus size) built from the indexed corpus's md5-derived
+    // positions (k=3), broadcast, and probed map-side by the fresh
+    // partition. Definite-new docs (any bit clear) skip the exact
+    // dedup shuffle entirely; only maybe-dups pay it. Reported per
+    // language against the exact md5 anti-join ground truth
+    // (llm_dedup_incremental's split), so the false-positive rate —
+    // the memory/shuffle trade dial — is measured, not assumed. Bloom
+    // soundness (every true dup flagged) is an anchor invariant.
+    "llm_dedup_bloom" -> ((s, dir) => {
+      def pos(i: Int) =
+        conv(substring(md5(col("text")), i * 8 + 1, 8), 16, 10)
+          .cast("bigint") % 65536
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"),
+          array(pos(0), pos(1), pos(2)).as("ps"))
+      val indexed = d.where(col("doc_id") % 3 =!= 0)
+      val fresh = d.where(col("doc_id") % 3 === 0)
+      val bitmap = indexed.select(explode(col("ps")).as("p"))
+        .select(expr("p div 60").as("word"),
+          expr("shiftleft(1L, cast(p % 60 as int))").as("bit"))
+        .groupBy("word").agg(bit_or(col("bit")).as("bits"))
+      val probes = fresh.select(col("doc_id"), col("lang"),
+          explode(col("ps")).as("p"))
+        .select(col("doc_id"), col("lang"), expr("p div 60").as("word"),
+          expr("shiftleft(1L, cast(p % 60 as int))").as("mask"))
+      val maybe = probes.join(broadcast(bitmap), Seq("word"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(coalesce(col("bits"), lit(0L)).bitwiseAND(col("mask"))
+            === col("mask"), 1L).otherwise(0L).as("h"))
+        .groupBy("doc_id", "lang").agg(min("h").as("all_hit"))
+      val exact = fresh.select(col("doc_id"), md5(col("text")).as("hh"))
+        .join(indexed.select(md5(col("text")).as("hh")).distinct(),
+          Seq("hh"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("is_dup"))
+      maybe.join(exact, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_fresh"),
+          sum("all_hit").as("n_flagged"),
+          sum(coalesce(col("is_dup"), lit(0L))).as("n_true_dup"),
+          (sum("all_hit") - sum(coalesce(col("is_dup"), lit(0L))))
+            .as("n_false_pos"))
+        .orderBy("lang")
+    }),
+
+    // ---- cohort lifetime value -----------------------------------------
+    // Cumulative revenue per first-order-month cohort by months since
+    // acquisition, normalized per cohort user — the LTV-curve
+    // complement of win_retention_cohort (which counts users, not
+    // revenue). Two corpus-keyed aggregates, then windows over the
+    // calendar-bounded (cohort, month) grid; cohort sizes broadcast.
+    "agg_cohort_ltv" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"),
+        trunc(col("o_orderdate").cast("date"), "month").as("om"))
+      val cohort = o.groupBy("o_custkey").agg(min("om").as("cm"))
+      val sizes = cohort.groupBy("cm").agg(count(lit(1)).as("n_users"))
+      val rev = o.join(cohort, "o_custkey")
+        .withColumn("ms", months_between(col("om"), col("cm")).cast("long"))
+        .groupBy("cm", "ms").agg(sum("p").as("rev"))
+      val wc = Window.partitionBy("cm").orderBy("ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      rev.withColumn("cum_rev", sum("rev").over(wc))
+        .join(broadcast(sizes), "cm")
+        .select(col("cm").as("cohort_month"), col("ms").as("months_since"),
+          col("n_users"),
+          col("cum_rev").cast(DoubleType).as("cum_rev"),
+          (col("cum_rev").cast(DoubleType) / col("n_users")).as("ltv_per_user"))
+        .orderBy("cohort_month", "months_since")
     })
   )
 
@@ -572,6 +670,69 @@ object Round6Queries {
         |  round(exp(coalesce(CAST(pick.logS AS DOUBLE), 0.0)), 6) AS survival
         |FROM grid LEFT JOIN pick
         |  ON grid.seg = pick.seg AND grid.t_day = pick.t_day
-        |ORDER BY c_mktsegment, t_day""".stripMargin
+        |ORDER BY c_mktsegment, t_day""".stripMargin,
+
+    "win_ohlc_daily" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |r AS (SELECT user_id, day, value,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY user_id, day
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  max(value) AS high, min(value) AS low,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+        |FROM r GROUP BY user_id, day ORDER BY user_id, day""".stripMargin,
+
+    "llm_dedup_bloom" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+        |    [('0x' || substr(md5(text), 1, 8))::BIGINT % 65536,
+        |     ('0x' || substr(md5(text), 9, 8))::BIGINT % 65536,
+        |     ('0x' || substr(md5(text), 17, 8))::BIGINT % 65536] AS ps
+        |  FROM documents),
+        |indexed AS (SELECT * FROM d WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT * FROM d WHERE doc_id % 3 = 0),
+        |bitmap AS (SELECT p // 60 AS word, bit_or(1::BIGINT << (p % 60)) AS bits
+        |  FROM (SELECT unnest(ps) AS p FROM indexed) GROUP BY p // 60),
+        |probes AS (SELECT doc_id, lang, p // 60 AS word,
+        |    1::BIGINT << (p % 60) AS mask
+        |  FROM (SELECT doc_id, lang, unnest(ps) AS p FROM fresh)),
+        |mb AS (SELECT doc_id, lang,
+        |    min(CASE WHEN (coalesce(bits, 0) & mask) = mask THEN 1 ELSE 0 END)
+        |      AS all_hit
+        |  FROM probes LEFT JOIN bitmap ON probes.word = bitmap.word
+        |  GROUP BY doc_id, lang),
+        |ex AS (SELECT DISTINCT f.doc_id, 1 AS is_dup
+        |  FROM fresh f JOIN indexed i ON md5(f.text) = md5(i.text))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_fresh,
+        |  CAST(sum(all_hit) AS BIGINT) AS n_flagged,
+        |  CAST(sum(coalesce(is_dup, 0)) AS BIGINT) AS n_true_dup,
+        |  CAST(sum(all_hit) - sum(coalesce(is_dup, 0)) AS BIGINT) AS n_false_pos
+        |FROM mb LEFT JOIN ex ON mb.doc_id = ex.doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "agg_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS om
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(om) AS cm FROM o GROUP BY o_custkey),
+        |sz AS (SELECT cm, count(*) AS n_users FROM c GROUP BY cm),
+        |rev AS (SELECT c.cm, CAST(date_diff('month', c.cm, o.om) AS BIGINT) AS ms,
+        |    sum(p) AS rev
+        |  FROM o JOIN c ON o.o_custkey = c.o_custkey GROUP BY c.cm, ms),
+        |cum AS (SELECT cm, ms, sum(rev) OVER (PARTITION BY cm ORDER BY ms
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        |  FROM rev)
+        |SELECT cum.cm AS cohort_month, ms AS months_since,
+        |  CAST(sz.n_users AS BIGINT) AS n_users,
+        |  CAST(cum_rev AS DOUBLE) AS cum_rev,
+        |  CAST(cum_rev AS DOUBLE) / sz.n_users AS ltv_per_user
+        |FROM cum JOIN sz ON cum.cm = sz.cm
+        |ORDER BY cohort_month, months_since""".stripMargin
   )
 }

@@ -51,7 +51,8 @@ object PlanAudit {
       "llm_vocab_growth", "agg_tail_hill", "llm_ann_pq",
       "llm_rbo_rankings", "agg_hhi_nation", "agg_theil_index",
       "win_rolling_slope", "topk_skyline", "llm_ann_pq_adc",
-      "stream_topk_window", "agg_survival_km")
+      "stream_topk_window", "agg_survival_km", "win_ohlc_daily",
+      "llm_dedup_bloom", "agg_cohort_ltv")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

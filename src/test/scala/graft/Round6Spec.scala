@@ -110,6 +110,41 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("win_ohlc_daily: high >= open/close >= low, single-event bars degenerate") {
+    val rows = SparkEntry.queries("win_ohlc_daily")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, o, c, h, l) = (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+      assert(h >= o && h >= c && l <= o && l <= c)
+      if (n == 1) assert(o == c && o == h && o == l)
+    }
+  }
+
+  test("llm_dedup_bloom: sound (every true dup flagged) and counts consistent") {
+    val rows = SparkEntry.queries("llm_dedup_bloom")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (nf, flag, dup, fp) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(flag >= dup, s"${r.getString(0)}: Bloom missed a true duplicate")
+      assert(fp == flag - dup)
+      assert(flag <= nf && dup <= nf)
+    }
+  }
+
+  test("agg_cohort_ltv: cumulative revenue non-decreasing within each cohort") {
+    val rows = SparkEntry.queries("agg_cohort_ltv")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    for ((_, g) <- rows.groupBy(_.get(0))) {
+      val s = g.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(s.zip(s.tail).forall { case (a, b) => b >= a })
+      // ltv = cum_rev / n_users exactly
+      for (r <- g)
+        assert(r.getDouble(4) == r.getDouble(3) / r.getLong(2))
+    }
+  }
+
   test("agg_survival_km: survival in [0,1], non-increasing along the grid") {
     val rows = SparkEntry.queries("agg_survival_km")(spark, sf0001).collect()
     assert(rows.length == 25) // 5 segments × 5 grid days
