@@ -38,7 +38,8 @@ object SparkEntry {
       CohortSignalQueries.queries ++ QualitySignalQueries.queries ++
       RobustStatsQueries.queries ++ SessionSurfaceQueries.queries ++
       VectorAuditQueries.queries ++ CurationRulesQueries.queries ++
-      Round6Queries.queries
+      Round6Queries.queries ++ Round6bQueries.queries ++
+      Round6cQueries.queries ++ Round6dQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -62,5 +63,6 @@ object SparkEntry {
       CohortSignalQueries.oracles ++ QualitySignalQueries.oracles ++
       RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles ++
       VectorAuditQueries.oracles ++ CurationRulesQueries.oracles ++
-      Round6Queries.oracles
+      Round6Queries.oracles ++ Round6bQueries.oracles ++
+      Round6cQueries.oracles ++ Round6dQueries.oracles
 }

@@ -33,18 +33,31 @@ import org.apache.spark.sql.functions._
   * other unpartitioned window.
   *
   * REQUIREMENT — `part ++ order` must be a TOTAL order (include a
-  * unique tiebreak column). The offsets table and the data rows are two
-  * plan branches over the same range shuffle; Catalyst's column pruning
-  * can give them physically distinct scans (no exchange reuse), so each
-  * branch re-runs the sort. Range boundaries are deterministic (the
-  * partitioner's reservoir sampling is seeded per input split), but the
-  * ORDER of tie rows within a sort is not — two branches could disagree
-  * on which tied row got which sequence number, de-synchronizing
-  * `__gr_base` from the stream side's offsets. A total order makes both
-  * branches bit-identical. Callers needing ANSI tie semantics
+  * unique tiebreak column): the range partitioner's sampling seed
+  * varies run to run (see below), so ranks of tied rows under a
+  * non-total order could swap between executions and fail the
+  * double-run determinism gate. Callers needing ANSI tie semantics
   * (percent_rank/cume_dist peers) add the tiebreak here and rebuild the
   * tie group via min/max over the REAL ordering key afterwards — see
   * win_cume_dist.
+  *
+  * WHY THE RANGED FRAME IS MATERIALIZED (eager localCheckpoint): the
+  * offsets table and the data rows are two consumers of the same range
+  * shuffle. Left as two lazy plan branches, each re-executes
+  * `repartitionByRange` — and Spark's `RangePartitioner` seeds its
+  * reservoir sample with the RDD id (`sketch`'s `shift = rdd.id`), so
+  * whenever Catalyst's column pruning gives the branches physically
+  * distinct scans (no exchange reuse), they can sample DIFFERENT range
+  * boundaries. Different boundaries de-synchronize `__gr_base` from the
+  * stream side's offsets and corrupt every rank (observed: negative
+  * row numbers on a 10k-row events input whose per-split row count
+  * exceeded the sample size, round 6). Exchange reuse made the family
+  * pass before — i.e. correctness depended on a pruning coincidence.
+  * The eager checkpoint executes the range shuffle exactly ONCE; both
+  * consumers then read the same materialized partitions, which is the
+  * persisted-pipeline-intermediate pattern a 100 TB run would use
+  * anyway. Boundaries still vary across RUNS, but a row's rank under a
+  * total order is boundary-invariant, so output stays deterministic.
   */
 object GlobalRank {
 
@@ -70,12 +83,16 @@ object GlobalRank {
     val partCols = part.map(col)
     val sortExprs = partCols ++ order
     // explicit partition count: AQE leaves user-specified range
-    // repartitions alone, so pid ordering always equals key ordering
-    val ranged = df.repartitionByRange(partitions, sortExprs: _*)
-      .sortWithinPartitions(sortExprs: _*)
-      .withColumn(MID, monotonically_increasing_id())
-      .withColumn(PID, shiftright(col(MID), 33).cast("int"))
-      .withColumn(SEQ, col(MID).bitwiseAND(lit((1L << 33) - 1)))
+    // repartitions alone, so pid ordering always equals key ordering.
+    // Materialized ONCE (see scaladoc) so the offsets branch and the
+    // stream branch cannot re-sample different range boundaries.
+    val ranged = graft.tools.PlanCapture.stage("global_rank.ranged",
+      df.repartitionByRange(partitions, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn(MID, monotonically_increasing_id())
+        .withColumn(PID, shiftright(col(MID), 33).cast("int"))
+        .withColumn(SEQ, col(MID).bitwiseAND(lit((1L << 33) - 1))))
+      .localCheckpoint(true)
     // one row per (range slice, group): row count + first local offset.
     // Bounded by partitions × |groups| regardless of data scale.
     val stats = ranged.groupBy(col(PID) +: partCols: _*)
@@ -126,10 +143,14 @@ object GlobalRank {
     */
   def withRunningMaxBefore(df: DataFrame, valCol: Column, pmCol: String,
       order: Seq[Column], partitions: Int = 32): DataFrame = {
-    val ranged = df.repartitionByRange(partitions, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn(MID, monotonically_increasing_id())
-      .withColumn(PID, shiftright(col(MID), 33).cast("int"))
+    // materialized once for the same two-branch boundary-divergence
+    // reason as withSeqAndCount (see object scaladoc)
+    val ranged = graft.tools.PlanCapture.stage("global_rank.prefix_scan",
+      df.repartitionByRange(partitions, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn(MID, monotonically_increasing_id())
+        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy(PID).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val stats = ranged.groupBy(col(PID)).agg(max(valCol).as(LMAX))

@@ -36,7 +36,7 @@ object GraphStatsQueries {
   /** Undirected supplier co-occurrence edges (sa < sb, distinct) from
     * orders placed in March 1997: two suppliers are linked when one
     * order contains lines from both. */
-  private def supplierEdges(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def supplierEdges(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .where(col("o_orderdate") >= ts("1997-03-01") &&
         col("o_orderdate") < ts("1997-04-01"))
@@ -171,7 +171,7 @@ object GraphStatsQueries {
     })
   )
 
-  private val edgesSql: String =
+  private[operators] val edgesSql: String =
     """o AS (SELECT o_orderkey FROM orders
       |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
       |    AND o_orderdate < TIMESTAMP '1997-04-01'),

@@ -52,7 +52,11 @@ object PlanAudit {
       "llm_rbo_rankings", "agg_hhi_nation", "agg_theil_index",
       "win_rolling_slope", "topk_skyline", "llm_ann_pq_adc",
       "stream_topk_window", "agg_survival_km", "win_ohlc_daily",
-      "llm_dedup_bloom", "agg_cohort_ltv")
+      "llm_dedup_bloom", "agg_cohort_ltv",
+      // round-6 second wave: drift/fertility metrics, causal analytics,
+      // link prediction, diversified top-k
+      "llm_cross_entropy", "llm_vocab_coverage", "agg_diff_in_diff",
+      "agg_cuped_adjust", "graph_common_neighbors", "topk_diverse_sources")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

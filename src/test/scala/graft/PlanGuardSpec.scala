@@ -74,7 +74,19 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_idf_drift",
     // agg_survival_km: the 1-row corpus-horizon max-date scalar
     // broadcast into the per-customer censor rows (as agg_rfm_segments)
-    "agg_survival_km")
+    "agg_survival_km",
+    // agg_cuped_adjust: the 1-row pooled CUPED moment table (n, sx, sy,
+    // sxy, sxx) broadcast into the 2-row arm aggregate (as tpch_q22)
+    "agg_cuped_adjust",
+    // agg_market_basket: the 1-row basket-count scalar broadcast into
+    // the brand-pair table for the lift denominator (as llm_bm25)
+    "agg_market_basket",
+    // graph_kcore: each peel round cross-joins its 1-row node count
+    // with its 1-row edge count into the round summary (as agg_funnel)
+    "graph_kcore",
+    // llm_vocab_coverage: the 1-row (total_tokens, vocab_size) scalar
+    // broadcast into the 3-row coverage@k table (as llm_bm25)
+    "llm_vocab_coverage")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

@@ -47,7 +47,8 @@ class QueriesSpec extends AnyFunSuite {
       CohortSignalQueries.queries, QualitySignalQueries.queries,
       RobustStatsQueries.queries, SessionSurfaceQueries.queries,
       VectorAuditQueries.queries, CurationRulesQueries.queries,
-      Round6Queries.queries)
+      Round6Queries.queries, Round6bQueries.queries, Round6cQueries.queries,
+      Round6dQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
