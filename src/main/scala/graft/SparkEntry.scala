@@ -39,7 +39,8 @@ object SparkEntry {
       RobustStatsQueries.queries ++ SessionSurfaceQueries.queries ++
       VectorAuditQueries.queries ++ CurationRulesQueries.queries ++
       Round6Queries.queries ++ Round6bQueries.queries ++
-      Round6cQueries.queries ++ Round6dQueries.queries
+      Round6cQueries.queries ++ Round6dQueries.queries ++
+      Round6eQueries.queries ++ Round6fQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +65,6 @@ object SparkEntry {
       RobustStatsQueries.oracles ++ SessionSurfaceQueries.oracles ++
       VectorAuditQueries.oracles ++ CurationRulesQueries.oracles ++
       Round6Queries.oracles ++ Round6bQueries.oracles ++
-      Round6cQueries.oracles ++ Round6dQueries.oracles
+      Round6cQueries.oracles ++ Round6dQueries.oracles ++
+      Round6eQueries.oracles ++ Round6fQueries.oracles
 }

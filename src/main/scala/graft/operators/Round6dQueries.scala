@@ -122,28 +122,35 @@ object Round6dQueries {
     // carries. Chunking is map-side; the hash rollup is one
     // chunk-keyed shuffle (scales with distinct paragraphs); ratios
     // are integer/integer single divisions.
-    "llm_dedup_paragraph" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          filter(split(col("text"), " "), t => t =!= "").as("tok"))
-        .where(size(col("tok")) >= 1)
-      val ch = d.select(col("doc_id"), col("source"),
-          explode(expr(
-            "transform(sequence(0, (size(tok) + 19) div 20 - 1), " +
-              "i -> concat_ws(' ', slice(tok, i * 20 + 1, 20)))")).as("chunk"))
-        .select(col("doc_id"), col("source"), md5(col("chunk")).as("h"))
-      val hs = ch.groupBy("h").agg(countDistinct("doc_id").as("nd"))
-      ch.join(hs, "h")
-        .groupBy("source")
-        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_chunks"),
-          count_if(col("nd") > 1).as("dup_chunks"))
-        .select(col("source"), col("n_docs"), col("n_chunks"),
-          col("dup_chunks"),
-          (col("dup_chunks").cast(DoubleType) /
-            col("n_chunks").cast(DoubleType)).as("dup_chunk_rate"))
-        .orderBy("source")
-    })
+    "llm_dedup_paragraph" -> ((s, dir) =>
+      paragraphDupStats(Tables.documents(s, dir)))
   )
+
+  /** The paragraph-dedup pipeline over an arbitrary documents frame
+    * (doc_id, source, text) — the declared query runs it on the fixture
+    * table; ScaleDryRun replays the SAME pipeline at k× volume. */
+  private[graft] def paragraphDupStats(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        filter(split(col("text"), " "), t => t =!= "").as("tok"))
+      .where(size(col("tok")) >= 1)
+    val ch = d.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(0, (size(tok) + 19) div 20 - 1), " +
+            "i -> concat_ws(' ', slice(tok, i * 20 + 1, 20)))")).as("chunk"))
+      .select(col("doc_id"), col("source"), md5(col("chunk")).as("h"))
+    val hs = ch.groupBy("h").agg(countDistinct("doc_id").as("nd"))
+    ch.join(hs, "h")
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_chunks"),
+        count_if(col("nd") > 1).as("dup_chunks"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("dup_chunks"),
+        (col("dup_chunks").cast(DoubleType) /
+          col("n_chunks").cast(DoubleType)).as("dup_chunk_rate"))
+      .orderBy("source")
+  }
 
   /** Unrolled one-round peel: degrees of `prev`, keep degree ≥ 3,
     * filter edges to kept endpoints. */

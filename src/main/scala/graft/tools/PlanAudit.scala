@@ -56,7 +56,14 @@ object PlanAudit {
       // round-6 second wave: drift/fertility metrics, causal analytics,
       // link prediction, diversified top-k
       "llm_cross_entropy", "llm_vocab_coverage", "agg_diff_in_diff",
-      "agg_cuped_adjust", "graph_common_neighbors", "topk_diverse_sources")
+      "agg_cuped_adjust", "graph_common_neighbors", "topk_diverse_sources",
+      // round-6 wave 4/5: hard-negative cell join, paragraph dedup,
+      // Mann-Whitney midranks, CUSUM decimal frames, interval join
+      "llm_hard_negatives", "llm_dedup_paragraph", "agg_mannwhitney",
+      "win_cusum_alarm", "stream_interval_join",
+      // round-6 wave 6: constant-memory sketch, community structure,
+      // consecutive-week growth self-joins
+      "llm_sketch_cms", "graph_modularity", "agg_growth_accounting")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

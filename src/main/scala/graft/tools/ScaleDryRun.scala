@@ -171,9 +171,22 @@ object ScaleDryRun {
         .agg(count(lit(1))).count()
     }
 
+    // paragraph dedup at k× the corpus (round 6): a leading replica
+    // marker token shifts every chunk boundary, so replica chunks stay
+    // DISTINCT and the chunk-hash rollup grows linearly — a plain
+    // self-union would make every chunk a k-way duplicate and measure
+    // the data, not the plan (the minhash lesson)
+    def paraShape(k: Int): Long = {
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i)
+        .withColumn("text", concat(lit(s"replica$i "), col("text"))))
+        .reduce(_ unionAll _)
+      graft.operators.Round6dQueries.paragraphDupStats(d).count()
+    }
+
     q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
     chunkShape(1); contamShape(1); asofShape(1); sessShape(1)
-    rankShape(1) // JIT warm-up
+    rankShape(1); paraShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
@@ -185,7 +198,8 @@ object ScaleDryRun {
       val t8 = time(asofShape(k))
       val t9 = time(sessShape(k))
       val t10 = time(rankShape(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s")
+      val t11 = time(paraShape(k))
+      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s  para=$t11%6.2f s")
     }
     spark.stop()
   }

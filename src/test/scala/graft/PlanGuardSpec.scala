@@ -86,7 +86,16 @@ class PlanGuardSpec extends AnyFunSuite {
     "graph_kcore",
     // llm_vocab_coverage: the 1-row (total_tokens, vocab_size) scalar
     // broadcast into the 3-row coverage@k table (as llm_bm25)
-    "llm_vocab_coverage")
+    "llm_vocab_coverage",
+    // win_cusum_alarm: the 1-row corpus-mean allowance scalar broadcast
+    // into the event stream (as agg_rfm_segments)
+    "win_cusum_alarm",
+    // llm_emb_dim_variance: the 1-row total-variance scalar broadcast
+    // into the 64-row per-dimension table (as llm_bm25)
+    "llm_emb_dim_variance",
+    // graph_modularity: the 1-row edge-count scalar broadcast into the
+    // ≤25-community term table (as tpch_q22)
+    "graph_modularity")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

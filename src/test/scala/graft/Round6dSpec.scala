@@ -34,6 +34,28 @@ class Round6dSpec extends AnyFunSuite {
     }
   }
 
+  test("GlobalRank.withRunningMaxBefore: matches the single-partition reference " +
+    "on a sample-sized input (same divergence class as withSeqAndCount)") {
+    val ev = sources.Tables.events(spark, sf001)
+      .select(col("event_id"), col("ts"), col("value"))
+    val got = operators.GlobalRank.withRunningMaxBefore(ev, col("value"),
+        "pmax", Seq(col("ts"), col("event_id")))
+      .select(col("event_id"), col("pmax")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    // reference: sort locally, exclusive running max (ts is NTZ →
+    // LocalDateTime; key on epoch-day·ns_per_day + nano-of-day)
+    val ref = ev.collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getDouble(2)))
+      .sortBy(t => (t._2.toLocalDate.toEpochDay * 86400000000000L +
+        t._2.toLocalTime.toNanoOfDay, t._1))
+    var best: Option[Double] = None
+    for ((id, _, v) <- ref) {
+      assert(got(id) == best, s"event $id: got ${got(id)} want $best")
+      best = Some(best.fold(v)(math.max(_, v)))
+    }
+  }
+
   test("llm_hard_negatives: negatives share the cell, differ in label, ranked by cosine") {
     val rows = SparkEntry.queries("llm_hard_negatives")(spark, sf0001).collect()
     assert(rows.nonEmpty)
