@@ -47,7 +47,16 @@ class DeterminismSpec extends AnyFunSuite {
       // unrounded integer-ratio shares
       "llm_lsh_tuning", "agg_gini_revenue", "agg_ab_conversion",
       "win_yoy_revenue", "llm_idf_drift", "agg_corr_matrix",
-      "llm_emb_norm_audit", "agg_seasonality_dow")) {
+      "llm_emb_norm_audit", "agg_seasonality_dow",
+      // round-6: the GlobalRank family MUST double-run at sf0.01 —
+      // sf0.001 inputs fit RangePartitioner's reservoir sample, so the
+      // boundary-divergence class the eager-materialization fix closed
+      // (negative/duplicated ranks, CHANGES_r6 §10) is physically
+      // unreachable there; only a sample-sized input exercises it
+      "win_cume_dist", "win_ntile_pct", "win_pareto_decile",
+      "agg_rfm_segments", "agg_mannwhitney", "agg_tail_hill",
+      "llm_vocab_growth", "llm_vocab_coverage", "llm_rbo_rankings",
+      "topk_diverse_sources", "topk_skyline", "llm_stopword_profile")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {
