@@ -51,6 +51,12 @@ object Bench {
     // query the Map happened to put first ate an ~8 s one-off tax.)
     val ordered = SparkEntry.queries.keys.toSeq.sorted
       .sortBy(n => if (n.startsWith("scan_")) 0 else 1)
+    // Build-once artifacts (ANN codebook, verified pair lists, cluster
+    // labels) are charged to their FIRST timed consumer; the ledger
+    // below splits that consumer's wall time into "artifact build" vs
+    // "query" so a 17 s graph_bfs_hops line reads as "near-pair build
+    // + 1.7 s query" instead of a 17 s query (r6 verdict item 3).
+    val artifacts = scala.collection.mutable.LinkedHashMap[String, (Double, String)]()
     val results = ordered.map { name =>
       val fn = SparkEntry.queries(name)
       // untimed full GC per query: earlier queries' shuffle/broadcast
@@ -59,17 +65,26 @@ object Bench {
       // queries ran up to 7x their steady-state cost when the first GC
       // of the timed loop landed inside them
       System.gc()
+      val builtBefore = graft.tools.IndexCache.buildTimes.map(_._1).toSet
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
+      for ((key, sec) <- graft.tools.IndexCache.buildTimes
+          if !builtBefore.contains(key)) {
+        artifacts(key) = (sec, name)
+      }
       // a failed query must not masquerade as a fast timing
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val artJson = artifacts.map { case (k, (sec, consumer)) =>
+      s"\"" + k + "\":{\"build_sec\":" + sec +
+        ",\"first_timed_consumer\":\"" + consumer + "\"}"
+    }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     // total over successful timings only — a -1.0 sentinel must not
     // subtract from the headline number
@@ -77,7 +92,7 @@ object Bench {
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""failed":$failedJson,"sf":"$sfDir"}"""
+        s""""artifacts":$artJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver parses stdout, but sbt wraps stdout in [info] noise, so
     // ALSO persist the same JSON to a fixed file in the working directory.
     try {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QueryUtils.hash60
 import graft.functions.VectorFunctions.{dvecDot, vecDot, vecNorm}
-import graft.tools.PlanCapture
+import graft.tools.Materialize
 
 /** Deterministic seeded k-means coarse quantizer for the ANN family
   * (llm_ann_ivf / llm_ann_multiprobe / llm_ann_recall) and the
@@ -89,18 +89,16 @@ object AnnCodebook {
     // the row_number window runs over the 64 surviving rows, not the
     // corpus — bounded by construction
     val w = Window.orderBy(col("h").asc, col("vec_id").asc)
-    var cent = PlanCapture.stage("ann_codebook.seed",
+    var cent = Materialize.eager("ann_codebook.seed",
       seeds.select((row_number().over(w) - 1).as("cell"), col("qv").as("csum")))
-      .localCheckpoint(true)
     for (it <- 1 to Iters) {
       val asg = assignWithQv(qvDf, cent)
-      cent = PlanCapture.stage(s"ann_codebook.cent$it",
+      cent = Materialize.eager(s"ann_codebook.cent$it",
         asg.select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
           .groupBy("cell", "pos").agg(sum("v").as("s"))
           .groupBy("cell")
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
             p => p.getField("s")).as("csum")))
-        .localCheckpoint(true)
     }
     (qvDf, cent)
   }
@@ -124,7 +122,7 @@ object AnnCodebook {
       val e = emb
         .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
         .join(cells, "vec_id")
-      (PlanCapture.stage("ann_index.e", e).localCheckpoint(true), cent)
+      (Materialize.eager("ann_index.e", e), cent)
     }
 
   /** Angle of every indexed vector to every centroid (n×K rows) —
@@ -136,13 +134,12 @@ object AnnCodebook {
       val (e, cent) = indexed(s, dir)
       val cn = cent.select(col("cell").as("ccell"), col("csum"))
         .withColumn("cnorm", sqrt(dvecDot(col("csum"), col("csum"))))
-      PlanCapture.stage("ann_nn1.ac",
+      Materialize.eager("ann_nn1.ac",
         e.crossJoin(broadcast(cn))
           .select(col("vec_id"), col("cell").as("own"), col("ccell"),
             acos(least(greatest(
               dvecDot(col("embedding"), col("csum")) / (col("nrm") * col("cnorm")),
               lit(-1.0)), lit(1.0))).as("ang")))
-        .localCheckpoint(true)
     }
 
   /** Deterministic fixed-size eval slice: the `n` vec_ids smallest by

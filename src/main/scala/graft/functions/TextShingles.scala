@@ -248,8 +248,7 @@ object TextShingles {
       .where(coalesce(col("inter") * 10 >= col("uni") * tenths, lit(false)))
       .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
-    graft.tools.PlanCapture.stage("jaccard.pairs", pairs)
-      .localCheckpoint(true).orderBy("doc_a", "doc_b")
+    graft.tools.Materialize.eager("jaccard.pairs", pairs).orderBy("doc_a", "doc_b")
   }
 
   /** Containment sibling of verifyJaccard: keeps DIRECTED candidate
@@ -268,8 +267,7 @@ object TextShingles {
       .where(coalesce(col("inter") * 10 >= col("na") * tenths, lit(false)))
       .select(col("a_id").as("contained_id"), col("b_id").as("container_id"),
         (col("inter").cast("double") / col("na")).as("containment"))
-    graft.tools.PlanCapture.stage("containment.pairs", pairs)
-      .localCheckpoint(true).orderBy("contained_id", "container_id")
+    graft.tools.Materialize.eager("containment.pairs", pairs).orderBy("contained_id", "container_id")
   }
 
   /** DuckDB CTE producing the same per-doc shingle sets (oracle side).

@@ -63,8 +63,7 @@ object AnalyticsClassicsQueries {
       // values identical to ntile(5) OVER (ORDER BY ...); a custkey
       // pivot folds the scores back. One rank pass instead of three —
       // and never a single-task window.
-      val perCk = graft.tools.PlanCapture.stage("rfm.per", per)
-        .localCheckpoint(true)
+      val perCk = graft.tools.Materialize.eager("rfm.per", per)
       val melted = perCk.select(col("o_custkey"),
           explode(array(
             struct(lit("r").as("dim"),

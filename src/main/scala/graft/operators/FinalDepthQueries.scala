@@ -64,8 +64,7 @@ object FinalDepthQueries {
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(decSum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("total_revenue"))
-      val rev2 = graft.tools.PlanCapture.stage("q15_revenue", rev)
-        .localCheckpoint(true) // reuse one computation for max + filter
+      val rev2 = graft.tools.Materialize.eager("q15_revenue", rev) // reuse one computation for max + filter
       val mx = rev2.agg(max(col("total_revenue")).as("mx"))
       rev2.join(broadcast(mx), col("total_revenue") === col("mx"))
         .join(Tables.supplier(s, dir),
@@ -176,10 +175,9 @@ object FinalDepthQueries {
     // skewed. Cell terms rounded to 9 then decimal-summed: exact under
     // any aggregation order.
     "llm_mi_lang_source" -> ((s, dir) => {
-      val j = graft.tools.PlanCapture.stage("mi_cells",
+      val j = graft.tools.Materialize.eager("mi_cells",
         Tables.documents(s, dir)
-          .groupBy("lang", "source").agg(count(lit(1)).as("c")))
-        .localCheckpoint(true) // tiny |langs|x|sources| table, reused 3x
+          .groupBy("lang", "source").agg(count(lit(1)).as("c"))) // tiny |langs|x|sources| table, reused 3x
       val tot = j.agg(sum("c").as("n"))
       val px = j.groupBy("lang").agg(sum("c").as("cx"))
       val py = j.groupBy("source").agg(sum("c").as("cy"))

@@ -62,20 +62,18 @@ object GraphEvalQueries {
       val pairs = graft.tools.PairArtifacts.of(s, dir, "simhash")(
         ScaleQueries.queries("llm_dedup_simhash")(s, dir))
         .select(col("doc_a"), col("doc_b"))
-      val edges = graft.tools.PlanCapture.stage("bfs.edges",
+      val edges = graft.tools.Materialize.eager("bfs.edges",
         pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-        .localCheckpoint(true)
-      var dist = graft.tools.PlanCapture.stage("bfs.d0",
+      var dist = graft.tools.Materialize.eager("bfs.d0",
         edges.select(col("src").as("node")).distinct()
           .where(col("node") % 50 === 0)
-          .withColumn("d", lit(0L))).localCheckpoint(true)
+          .withColumn("d", lit(0L)))
       for (hop <- 1 to 6) {
         val nxt = edges.join(dist.withColumnRenamed("node", "src"), "src")
           .select(col("dst").as("node"), (col("d") + 1).as("d"))
-        dist = graft.tools.PlanCapture.stage(s"bfs.d$hop",
+        dist = graft.tools.Materialize.eager(s"bfs.d$hop",
           dist.union(nxt).groupBy("node").agg(min("d").as("d")))
-          .localCheckpoint(true)
       }
       dist.select(col("node").as("doc_id"), col("d").as("hops"))
         .orderBy("doc_id")

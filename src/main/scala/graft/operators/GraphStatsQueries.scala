@@ -59,7 +59,7 @@ object GraphStatsQueries {
     // equi-join on node ids, candidate volume bounded by Σ deg²; no
     // all-pairs anywhere.
     "graph_triangles" -> ((s, dir) => {
-      val e = supplierEdges(s, dir).localCheckpoint(true)
+      val e = graft.tools.Materialize.eager("triangles.edges", supplierEdges(s, dir))
       val e1 = e.select(col("sa").as("a"), col("sb").as("b"))
       val e2 = e.select(col("sa").as("b"), col("sb").as("c"))
       val e3 = e.select(col("sa").as("a"), col("sb").as("c"), lit(1).as("hit"))
@@ -84,26 +84,24 @@ object GraphStatsQueries {
     // per component; at larger N drop the unit scale to 1e9.
     "graph_pagerank" -> ((s, dir) => {
       val pairs = supplierEdges(s, dir)
-      val edges = graft.tools.PlanCapture.stage("pr.edges",
+      val edges = graft.tools.Materialize.eager("pr.edges",
         pairs.select(col("sa").as("src"), col("sb").as("dst"))
           .union(pairs.select(col("sb").as("src"), col("sa").as("dst"))))
-        .localCheckpoint(true)
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       val nodes = edges.select(col("src").as("node")).distinct()
-      var rank = graft.tools.PlanCapture.stage("pr.r0",
-        nodes.withColumn("r", lit(1000000000000L))).localCheckpoint(true)
+      var rank = graft.tools.Materialize.eager("pr.r0",
+        nodes.withColumn("r", lit(1000000000000L)))
       for (round <- 1 to 5) {
         val contrib = edges
           .join(rank.withColumnRenamed("node", "src"), "src")
           .join(deg, "src")
           .select(col("dst").as("node"), expr("r div deg").as("c"))
           .groupBy("node").agg(sum("c").as("in_mass"))
-        rank = graft.tools.PlanCapture.stage(s"pr.r$round",
+        rank = graft.tools.Materialize.eager(s"pr.r$round",
           nodes.join(contrib, Seq("node"), "left")
             .select(col("node"),
               (lit(150000000000L) +
                 expr("85 * coalesce(in_mass, 0L) div 100")).as("r")))
-          .localCheckpoint(true)
       }
       rank.select(col("node").as("s_suppkey"), col("r").as("rank_units"))
         .orderBy("s_suppkey")

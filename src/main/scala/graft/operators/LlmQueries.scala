@@ -63,22 +63,20 @@ object LlmQueries {
       // positional bound taken as a MINIMUM over all shared prefix
       // shingles — |A∩B| <= min(i-1,j-1) + min(na-i,nb-j) + 1 at every
       // shared position, so a true pair satisfies the bound everywhere.
-      val sh = graft.tools.PlanCapture.stage("dedup_near.sh",
+      val sh = graft.tools.Materialize.eager("dedup_near.sh",
         Tables.documents(s, dir)
           .select(col("doc_id"), mkShingles(col("text")).as("sh"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("n", size(col("sh"))))
-        .localCheckpoint(true)
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)
       val wdf = Window.partitionBy("s")
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val pref = graft.tools.PlanCapture.stage("dedup_near.pref",
+      val pref = graft.tools.Materialize.eager("dedup_near.pref",
         ex.withColumn("df", count(lit(1)).over(wdf))
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= col("n") - ceil(col("n") * lit(0.6)).cast("int") + 1)
           .select("doc_id", "s", "rk", "n"))
-        .localCheckpoint(true)
       val pa = pref.select(col("doc_id").as("a_id"), col("s"),
         col("rk").as("rka"), col("n").as("na"))
       val pb = pref.select(col("doc_id").as("b_id"), col("s"),

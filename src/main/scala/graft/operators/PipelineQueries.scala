@@ -84,12 +84,11 @@ object PipelineQueries {
       // iteration state. Both tables are corpus-linear and compact
       // (grams: one array per doc; prefix: ~30% of gram occurrences),
       // stored as executor-local blocks, never a driver collect.
-      val sh = graft.tools.PlanCapture.stage("dedup_ngram.sh",
+      val sh = graft.tools.Materialize.eager("dedup_ngram.sh",
         Tables.documents(s, dir)
           .select(col("doc_id"), mkCharGrams(col("text")).as("sh"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("n", size(col("sh"))))
-        .localCheckpoint(true)
       // explode_outer (not explode): no inferred size(sh) > 0 generator
       // filter for the optimizer to push below the projection, which
       // would re-evaluate the gram kernel in the scan stage
@@ -101,12 +100,11 @@ object PipelineQueries {
       // twice (measured ~2x the candidate-generation cost)
       val wdf = Window.partitionBy("s")
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val pref = graft.tools.PlanCapture.stage("dedup_ngram.pref",
+      val pref = graft.tools.Materialize.eager("dedup_ngram.pref",
         ex.withColumn("df", count(lit(1)).over(wdf))
           .withColumn("rk", row_number().over(w))
           .where(col("rk") <= col("n") - ceil(col("n") * lit(0.7)).cast("int") + 1)
           .select("doc_id", "s", "rk", "n"))
-        .localCheckpoint(true)
       val pa = pref.select(col("doc_id").as("a_id"), col("s"),
         col("rk").as("rka"), col("n").as("na"))
       val pb = pref.select(col("doc_id").as("b_id"), col("s"),
@@ -136,20 +134,18 @@ object PipelineQueries {
     // 10·|∩| ≥ 9·|A|. One df window pass; plain doc-id joins re-attach
     // the arrays (no pinned broadcast — same posture as verifyJaccard).
     "llm_dedup_contain" -> ((s, dir) => {
-      val sh = graft.tools.PlanCapture.stage("dedup_contain.sh",
+      val sh = graft.tools.Materialize.eager("dedup_contain.sh",
         Tables.documents(s, dir)
           .select(col("doc_id"), mkShingles(col("text")).as("sh"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("n", size(col("sh"))))
-        .localCheckpoint(true)
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)
       val wdf = Window.partitionBy("s")
       val w = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
-      val withDf = graft.tools.PlanCapture.stage("dedup_contain.withDf",
+      val withDf = graft.tools.Materialize.eager("dedup_contain.withDf",
         ex.withColumn("df", count(lit(1)).over(wdf))
           .withColumn("rk", row_number().over(w)))
-        .localCheckpoint(true)
       val pa = withDf
         .where(col("rk") <= col("n") - ceil(col("n") * lit(0.9)).cast("int") + 1)
         .select(col("doc_id").as("a_id"), col("s"))

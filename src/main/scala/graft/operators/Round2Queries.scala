@@ -327,13 +327,12 @@ object Round2Queries {
     val pairs = graft.tools.PairArtifacts.of(s, dir, "simhash")(
       ScaleQueries.queries("llm_dedup_simhash")(s, dir))
       .select(col("doc_a"), col("doc_b"))
-    val edges = graft.tools.PlanCapture.stage("cluster.edges",
+    val edges = graft.tools.Materialize.eager("cluster.edges",
       pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
         .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b"))))
-      .localCheckpoint(true)
-    var labels = graft.tools.PlanCapture.stage("cluster.labels0",
+    var labels = graft.tools.Materialize.eager("cluster.labels0",
       edges.select(col("a").as("node")).distinct()
-        .withColumn("label", col("node"))).localCheckpoint(true)
+        .withColumn("label", col("node")))
     // convergence is guaranteed (labels decrease monotonically, bounded
     // below, in at most diameter rounds — measured 2-3 on this data);
     // the generous cap only guards a logic bug, and tripping it with
@@ -346,10 +345,9 @@ object Round2Queries {
     while (changed > 0 && iter < 1000) {
       val nbr = edges.join(labels.withColumnRenamed("node", "b"), "b")
         .select(col("a").as("node"), col("label"))
-      val next = graft.tools.PlanCapture.stage("cluster.iter",
+      val next = graft.tools.Materialize.eager("cluster.iter",
         labels.union(nbr)
           .groupBy("node").agg(min("label").as("label")))
-        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("label", "prev"), "node")
         .where(col("label") < col("prev")).count()
       labels = next

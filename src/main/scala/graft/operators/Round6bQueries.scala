@@ -101,6 +101,10 @@ object Round6bQueries {
       Tables.documents(s, dir)
         .select(col("lang"), nTok.as("ntok"),
           length(translate(col("text"), " ", "")).cast("long").as("tchars"))
+        // fertility is defined over non-empty docs: a language whose
+        // fixture slice were all whitespace-only docs would otherwise
+        // hit 0/0 (Spark NULL vs DuckDB NaN — cross-engine mismatch)
+        .where(col("ntok") >= 1)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("ntok").as("total_tokens"),
           sum("tchars").as("total_token_chars"))
@@ -277,11 +281,12 @@ object Round6bQueries {
       |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS tchars
       |  FROM documents)
       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  -- WHERE below mirrors the Spark-side non-empty-doc guard
       |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
       |  CAST(sum(tchars) AS BIGINT) AS total_token_chars,
       |  CAST(sum(ntok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS toks_per_doc,
       |  CAST(sum(tchars) AS DOUBLE) / CAST(sum(ntok) AS DOUBLE) AS chars_per_tok
-      |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+      |FROM d WHERE ntok >= 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "agg_diff_in_diff" -> s"""
       |WITH ev AS (SELECT event_type,

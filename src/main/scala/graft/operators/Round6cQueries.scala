@@ -41,7 +41,7 @@ object Round6cQueries {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("ok"), col("p_brand").as("item"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(df => graft.tools.Materialize.eager("basket.items", df))
       val n = items.agg(countDistinct("ok").as("n_orders"))
       val supp = items.groupBy("item").agg(count(lit(1)).as("supp"))
       items.toDF("ok", "a")
@@ -125,6 +125,11 @@ object Round6cQueries {
       val perDoc = Tables.documents(s, dir)
         .select(col("lang"), nTok.as("nt"),
           size(array_distinct(toks)).cast("long").as("nd"))
+        // zero-token docs would put 0/0 in the per-doc TTR — NULL on
+        // Spark (null-skipped by sum) vs NaN on DuckDB; exclude them
+        // on BOTH sides so cross-engine parity cannot hinge on the
+        // fixture never containing an empty document
+        .where(col("nt") >= 1)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"),
           sum(round(col("nd").cast(DoubleType) / col("nt").cast(DoubleType), 8)
@@ -150,7 +155,11 @@ object Round6cQueries {
     // per-lang totals broadcast; terms 8dp-rounded then decimal-summed.
     "llm_bigram_entropy_rate" -> ((s, dir) => {
       val bg = Tables.documents(s, dir)
-        .select(col("lang"), split(col("text"), " ").as("tok"))
+        // family convention: drop empty tokens (consecutive spaces must
+        // not mint empty-string bigram states; keeps the unigram and
+        // bigram views on the same token stream)
+        .select(col("lang"),
+          filter(split(col("text"), " "), t => t =!= "").as("tok"))
         .where(size(col("tok")) >= 2)
         .select(col("lang"), explode(expr(
           "transform(sequence(1, size(tok) - 1), " +
@@ -252,7 +261,7 @@ object Round6cQueries {
       |    CAST(sum(nt) AS BIGINT) AS total_tokens,
       |    sum(CAST(round(CAST(nd AS DOUBLE) / CAST(nt AS DOUBLE), 8)
       |      AS DECIMAL(18,8))) AS ttr_sum
-      |  FROM d GROUP BY lang),
+      |  FROM d WHERE nt >= 1 GROUP BY lang),
       |v AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS lang_vocab
       |  FROM (SELECT lang, unnest($duckToks) AS tok FROM documents)
       |  GROUP BY lang)
@@ -261,9 +270,9 @@ object Round6cQueries {
       |  CAST(lang_vocab AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS corpus_ttr
       |FROM pd JOIN v ON pd.lang = v.lang ORDER BY pd.lang""".stripMargin,
 
-    "llm_bigram_entropy_rate" -> """
+    "llm_bigram_entropy_rate" -> s"""
       |WITH bg AS (SELECT lang, tok[i] AS w1, tok[i + 1] AS w2
-      |  FROM (SELECT lang, string_split(text, ' ') AS tok FROM documents),
+      |  FROM (SELECT lang, $duckToks AS tok FROM documents),
       |    unnest(generate_series(1, len(tok) - 1)) u(i)
       |  WHERE len(tok) >= 2),
       |c12 AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS c12

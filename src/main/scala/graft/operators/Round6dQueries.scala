@@ -63,16 +63,16 @@ object Round6dQueries {
     // pagerank/label-propagation skeleton); counts are exact integers.
     "graph_kcore" -> ((s, dir) => {
       val k = 3
-      var edges = GraphStatsQueries.supplierEdges(s, dir).localCheckpoint(true)
+      var edges = graft.tools.Materialize.eager("kcore.edges",
+        GraphStatsQueries.supplierEdges(s, dir))
       val perRound = (1 to 4).map { r =>
         val deg = edges.select(col("sa").as("v"))
           .union(edges.select(col("sb").as("v")))
           .groupBy("v").agg(count(lit(1)).as("deg"))
         val keep = deg.where(col("deg") >= k).select("v")
-        edges = edges
+        edges = graft.tools.Materialize.eager(s"kcore.r$r", edges
           .join(keep.toDF("ka"), col("sa") === col("ka"), "left_semi")
-          .join(keep.toDF("kb"), col("sb") === col("kb"), "left_semi")
-          .localCheckpoint(true)
+          .join(keep.toDF("kb"), col("sb") === col("kb"), "left_semi"))
         keep.agg(count(lit(1)).as("nodes_kept"))
           .crossJoin(edges.agg(count(lit(1)).as("edges_kept")))
           .select(lit(r.toLong).as("round"), col("nodes_kept"),

@@ -26,13 +26,16 @@ object Round6eQueries {
   val queries: Map[String, QFn] = Map(
 
     // ---- differential-privacy count release -----------------------------
-    // Per-source doc counts released with Laplace(1/ε), ε = 1 — the
-    // privacy-preserving "dataset card" pattern. The draw is
-    // DETERMINISTIC so the oracle can replay it: u ∈ (0,1) from the
-    // shared md5 hash60 idiom, noise = −sign(u−½)·ln(1−2|u−½|)
-    // (inverse CDF of Laplace(b=1)). Map-only + a 20-key shuffle; the
-    // noise chain is a fixed-order double expression identical in
-    // DuckDB.
+    // Per-source doc counts with Laplace(1/ε) noise, ε = 1 — the
+    // NOISE MECHANICS of a DP count release, exercised as a parity
+    // benchmark. NOT an actual private release: the draw is a
+    // deterministic function of the PUBLIC group key (so the oracle
+    // can replay it — u ∈ (0,1) from the shared md5 hash60 idiom,
+    // noise = −sign(u−½)·ln(1−2|u−½|), the inverse CDF of
+    // Laplace(b=1)), and the exact n_docs is co-emitted in the same
+    // row; a real release seeds from a secret and withholds the true
+    // count. Map-only + a 20-key shuffle; the noise chain is a
+    // fixed-order double expression identical in DuckDB.
     "llm_dp_count" -> ((s, dir) => {
       val u = (hash60(col("source")) % 1000000).cast(DoubleType)
         .plus(lit(0.5)).divide(lit(1000000.0))

@@ -34,8 +34,8 @@ object Round6fQueries {
       val toks = Tables.documents(s, dir)
         .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cnt"))
-        .transform(df => graft.tools.PlanCapture.stage("cms.toks", df))
-        .localCheckpoint(true) // grid + probes both read it; build once
+        .transform(df => graft.tools.Materialize.eager("cms.toks", df))
+        // ^ grid + probes both read it; build once
       val rows = toks.select(col("tok"), col("cnt"),
           explode(array((0 until 3).map(lit): _*)).as("j"))
         .select(col("j"), col("cnt"),
@@ -65,9 +65,8 @@ object Round6fQueries {
     // sums are exact integers off node-keyed joins; the 5-25 community
     // terms are 8dp-rounded then decimal-summed; Q rounds to 6dp.
     "graph_modularity" -> ((s, dir) => {
-      val e = graft.tools.PlanCapture
-        .stage("modularity.edges", GraphStatsQueries.supplierEdges(s, dir))
-        .localCheckpoint(true)
+      val e = graft.tools.Materialize
+        .eager("modularity.edges", GraphStatsQueries.supplierEdges(s, dir))
       val com = Tables.supplier(s, dir)
         .select(col("s_suppkey").as("v"), col("s_nationkey").as("c"))
       val withC = e
@@ -105,8 +104,8 @@ object Round6fQueries {
         .select(col("user_id").as("u"),
           ((dayofmonth(col("ts")) - 1) / 7).cast("int").as("wk"))
         .distinct()
-        .transform(df => graft.tools.PlanCapture.stage("growth.uw", df))
-        .localCheckpoint(true) // four consumers below
+        .transform(df => graft.tools.Materialize.eager("growth.uw", df))
+        // ^ four consumers below; build once
       val first = uw.groupBy("u").agg(min("wk").as("fw"))
       val cur = uw.toDF("cu", "cw")
       val nxt = uw.toDF("nu", "nw")

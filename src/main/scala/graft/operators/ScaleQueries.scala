@@ -196,8 +196,7 @@ object ScaleQueries {
       // orderBy over the CHECKPOINTED pair list: range sampling scans
       // only the materialized pairs (no single-task repartition(1)
       // funnel, no pipeline re-run)
-      graft.tools.PlanCapture.stage("simhash.pairs", pairs)
-        .localCheckpoint(true).orderBy("doc_a", "doc_b")
+      graft.tools.Materialize.eager("simhash.pairs", pairs).orderBy("doc_a", "doc_b")
     }),
 
     // ---- heuristic language ID: profile hit counts + alphabetic argmax -
@@ -336,8 +335,7 @@ object ScaleQueries {
           (vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n"))).as("cos_sim"))
         .where(col("cos_sim") >= 0.4)
       // checkpointed-pairs orderBy, not repartition(1): see llm_dedup_simhash
-      graft.tools.PlanCapture.stage("embcos.pairs", pairs)
-        .localCheckpoint(true).orderBy("a_id", "b_id")
+      graft.tools.Materialize.eager("embcos.pairs", pairs).orderBy("a_id", "b_id")
     }),
 
     // ---- IVF ANN: seeded k-means codebook (64 cells), probe 1 cell -----

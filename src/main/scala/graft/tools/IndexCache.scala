@@ -38,16 +38,34 @@ object IndexCache {
 
   private val cache =
     scala.collection.mutable.HashMap[(SparkSession, String), AnyRef]()
+  // wall-clock seconds each artifact's build took since the last
+  // clear() — Bench reads this to attribute build cost separately from
+  // query cost in bench_out.json (r6 verdict item 3: 17.4 s for
+  // graph_bfs_hops must read as "near-pair build + 1.7 s query")
+  private val buildSecs =
+    scala.collection.mutable.LinkedHashMap[String, Double]()
 
   /** Build-or-reuse `key`'s artifact for session `s`. The lock is held
     * across the build (eager checkpoint included) — correct and simple;
     * builders are reentrant on the same thread (JVM monitors). */
   def cached[T <: AnyRef](s: SparkSession, key: String)(build: => T): T =
     synchronized {
-      cache.getOrElseUpdate((s, key), build.asInstanceOf[AnyRef])
-        .asInstanceOf[T]
+      cache.get((s, key)) match {
+        case Some(v) => v.asInstanceOf[T]
+        case None =>
+          val t0 = System.nanoTime()
+          val v = build
+          buildSecs(key) = (System.nanoTime() - t0) / 1e9
+          cache.put((s, key), v.asInstanceOf[AnyRef])
+          v
+      }
     }
 
-  /** Drop every cached artifact (plan-capture and determinism tests). */
-  def clear(): Unit = synchronized(cache.clear())
+  /** Build wall-clock seconds per artifact key since the last clear(),
+    * in build order. */
+  def buildTimes: Seq[(String, Double)] = synchronized(buildSecs.toSeq)
+
+  /** Drop every cached artifact (plan-capture and determinism tests)
+    * and the build-time ledger. */
+  def clear(): Unit = synchronized { cache.clear(); buildSecs.clear() }
 }

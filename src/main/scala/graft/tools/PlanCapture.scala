@@ -10,7 +10,8 @@ import org.apache.spark.sql.execution.SparkPlan
   * checkpoint scan — PlanGuardSpec's no-cartesian/no-BNLJ assertions
   * could not see inside those stages (round-2 verdict item 6). Builders
   * now route every about-to-be-checkpointed DataFrame through
-  * `stage(tag, df)`: a no-op in production, and under an enabled
+  * [[Materialize.eager]] (which calls `stage(tag, df)` before the
+  * checkpoint): a no-op in production, and under an enabled
   * capture (PlanGuardSpec) it records the stage's PHYSICAL plan before
   * the checkpoint erases it, so the guard asserts on exactly the plan
   * that executes at construction time.
@@ -29,8 +30,8 @@ object PlanCapture {
   def disable(): Unit = synchronized { enabled = false }
 
   /** Record `df`'s physical plan under `tag` if capture is on; returns
-    * `df` unchanged so builders can wrap in-line:
-    * `PlanCapture.stage("x", df).localCheckpoint(true)`. */
+    * `df` unchanged. Builders normally reach this through
+    * `Materialize.eager("x", df)`, which stages then checkpoints. */
   def stage(tag: String, df: DataFrame): DataFrame = {
     if (enabled) {
       val plan = df.queryExecution.executedPlan

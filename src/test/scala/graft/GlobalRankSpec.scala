@@ -70,6 +70,31 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("default (derived) partition count follows the session's shuffle parallelism") {
+    // r6 verdict item 1: no caller-visible fixed 32 — omitting
+    // `partitions` must derive the range width from
+    // spark.sql.shuffle.partitions, and ranks must be identical to the
+    // ground truth at ANY width (boundary-invariance under total order)
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      val df = randDf(21L, 700, 7)
+      val got = GlobalRank.withSeqAndCount(df, "rn", "cnt", Seq.empty,
+        Seq(col("k"), col("id")))
+      // the ranked stream side keeps its range partitioning (broadcast
+      // join adds no shuffle), so the width is observable here
+      assert(got.rdd.getNumPartitions == 11,
+        s"derived width ${got.rdd.getNumPartitions}, want 11 from session conf")
+      val w = Window.orderBy("k", "id")
+      val want = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      assert(rows(got.select("id", "rn", "cnt")) ==
+        rows(want.select("id", "rn", "cnt")))
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ntileFromSeq matches Spark's ntile for every bucket count") {
     for (n <- Seq(1, 4, 37, 200); b <- Seq(1, 3, 4, 10)) {
       val df = randDf(11L, n, 13)

@@ -70,6 +70,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(om.isDefined, "OPERATORS.md lost its 'N declared queries' header")
     assert(om.get.group(1).toInt == n,
       s"OPERATORS.md header says ${om.get.group(1)} queries but SparkEntry ships $n")
+    // r6 verdict item 8: a stale REGENERATION (query added, per-query
+    // table not rebuilt) must fail too, not just a stale header — the
+    // table's row set must equal the shipped query set exactly
+    val tabled = """\| `([a-z0-9_]+)`""".r.findAllMatchIn(ops)
+      .map(_.group(1)).toSet
+    val missingRows = SparkEntry.queries.keySet -- tabled
+    val staleRows = tabled -- SparkEntry.queries.keySet
+    assert(missingRows.isEmpty,
+      s"OPERATORS.md table lacks rows for: $missingRows — regenerate via tools/gen_operators_md.py")
+    assert(staleRows.isEmpty,
+      s"OPERATORS.md table has rows for unshipped queries: $staleRows — regenerate")
   }
 
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
