@@ -40,7 +40,8 @@ object SparkEntry {
       VectorAuditQueries.queries ++ CurationRulesQueries.queries ++
       Round6Queries.queries ++ Round6bQueries.queries ++
       Round6cQueries.queries ++ Round6dQueries.queries ++
-      Round6eQueries.queries ++ Round6fQueries.queries
+      Round6eQueries.queries ++ Round6fQueries.queries ++
+      Round7Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -66,5 +67,6 @@ object SparkEntry {
       VectorAuditQueries.oracles ++ CurationRulesQueries.oracles ++
       Round6Queries.oracles ++ Round6bQueries.oracles ++
       Round6cQueries.oracles ++ Round6dQueries.oracles ++
-      Round6eQueries.oracles ++ Round6fQueries.oracles
+      Round6eQueries.oracles ++ Round6fQueries.oracles ++
+      Round7Queries.oracles
 }

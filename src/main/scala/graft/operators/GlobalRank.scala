@@ -235,6 +235,63 @@ object GlobalRank {
       .drop(MID, PID, PHYS, LMAX, PMAX)
   }
 
+  /** `df` plus, for each `(valCol, runName, totName)` triple: `runName`
+    * = the INCLUSIVE running sum of `valCol` over the total `order`
+    * within each `part` group, and `totName` = the group's total — the
+    * distributed prefix-sum sibling of `withSeqAndCount` (empirical
+    * CDFs, cumulative shares, Kaplan-Meier-style ledgers), computed
+    * without a single-task window.
+    *
+    * Shape: range partition on `part ++ order`; per-slice inclusive
+    * running sums via a (pid, group)-keyed window (each task scans one
+    * slice); a broadcast ≤ partitions × |groups| offsets table carrying
+    * each slice's EXCLUSIVE prefix of the slice sums plus the group
+    * total. Same contracts as `withSeqAndCount`: `part ++ order` total,
+    * `part` few-group only, 2^33 rows per slice (guarded), same
+    * materialize-once rationale.
+    *
+    * Sum exactness: the per-slice and cross-slice additions reassociate
+    * the fold, so use integer or DECIMAL `valCol`s (order-free) — raw
+    * double columns would be partial-order dependent here like in any
+    * distributed sum. */
+  def withRunningSums(df: DataFrame, vals: Seq[(Column, String, String)],
+      part: Seq[String], order: Seq[Column],
+      partitions: Int = 0): DataFrame = {
+    val partCols = part.map(col)
+    val sortExprs = partCols ++ order
+    val nPart = rangePartitions(df, partitions)
+    val ranged = graft.tools.Materialize.eager("global_rank.runsum",
+      df.repartitionByRange(nPart, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn(MID, monotonically_increasing_id())
+        .withColumn(PHYS, spark_partition_id())
+        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+    val sliceAggs = vals.map { case (v, run, _) => sum(v).as(s"__gr_s_$run") } :+
+      max(when(col(PID) =!= col(PHYS), 1).otherwise(0)).as(BAD)
+    val stats = ranged.groupBy(col(PID) +: partCols: _*)
+      .agg(sliceAggs.head, sliceAggs.tail: _*)
+    val wBase =
+      if (part.isEmpty) Window.orderBy(PID)
+      else Window.partitionBy(partCols: _*).orderBy(PID)
+    val wExcl = wBase.rowsBetween(Window.unboundedPreceding, -1)
+    val wTotal = wBase.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val offsets0 = vals.foldLeft(stats) { case (d, (_, run, tot)) =>
+      d.withColumn(s"__gr_o_$run", overflowGuard(
+          coalesce(sum(s"__gr_s_$run").over(wExcl), lit(0)), col(BAD)))
+        .withColumn(tot, sum(s"__gr_s_$run").over(wTotal))
+    }
+    val offsets = offsets0.select(col(PID) +: partCols
+      ++: vals.flatMap { case (_, run, tot) => Seq(col(s"__gr_o_$run"), col(tot)) }: _*)
+    val wLocal = Window.partitionBy(col(PID) +: partCols: _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = ranged.join(broadcast(offsets), PID +: part)
+    vals.foldLeft(joined) { case (d, (v, run, _)) =>
+      d.withColumn(run, sum(v).over(wLocal) + col(s"__gr_o_$run"))
+        .drop(s"__gr_o_$run")
+    }.drop(MID, PID, PHYS)
+  }
+
   /** ANSI `ntile(buckets)` from a 1-based row number column `rn` and the
     * partition row count column `n` — exact integer arithmetic (`div`,
     * never double `/`), identical to Spark's and DuckDB's NTile: the

@@ -42,15 +42,22 @@ object ScaleDryRun {
       .groupBy("c_mktsegment").agg(count(lit(1))).count()
 
     // near-dup (MinHash-LSH candidates + exact verify) at k× the corpus.
-    // Each replica's text gets a distinct suffix token so true-dup
-    // density stays constant — a plain self-union would make every doc a
-    // k-way exact duplicate and grow TRUE pairs quadratically, measuring
-    // the data rather than the plan.
+    // Replica perturbation is a PER-REPLICA TOKEN BIJECTION (every token
+    // tagged ~r$i): intra-replica Jaccard is exactly preserved (the
+    // planted near-dups stay near-dups inside each replica) while
+    // cross-replica shingle overlap is zero, so true pairs grow
+    // k-LINEARLY by construction. The previous 3-token suffix only
+    // looked like a perturbation: shingles are word trigrams, so two
+    // replicas of one doc still shared ~S/(S+6) ≥ 0.6 Jaccard and
+    // every doc's replicas were MUTUAL true near-dups — C(k,2)·docs
+    // quadratic true-pair growth, measured as the r6 "super-linear last
+    // doubling" (3.04 s at 4× → 9.30 s at 8×). LshScaleProbe carries
+    // the measured attribution; the plan itself was never super-linear.
     val docs = graft.sources.Tables.documents(spark, dir)
     def dedupShape(k: Int): Long = {
       val d = Seq.range(0, k).map(i => docs
         .withColumn("doc_id", col("doc_id") * k + i)
-        .withColumn("text", concat(col("text"), lit(s" replica$i marker$i pad$i"))))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1~r$i")))
         .reduce(_ unionAll _)
       // the SHIPPED pipeline, not a copy — tuning the query retunes this
       graft.operators.ScaleQueries.minhashLshPairs(spark, d).count()

@@ -56,7 +56,11 @@ class DeterminismSpec extends AnyFunSuite {
       "win_cume_dist", "win_ntile_pct", "win_pareto_decile",
       "agg_rfm_segments", "agg_mannwhitney", "agg_tail_hill",
       "llm_vocab_growth", "llm_vocab_coverage", "llm_rbo_rankings",
-      "topk_diverse_sources", "topk_skyline", "llm_stopword_profile")) {
+      "topk_diverse_sources", "topk_skyline", "llm_stopword_profile",
+      // round-7 GlobalRank riders (runsum CDFs, double rank passes) +
+      // the rounded-pow normalizer and rounded-LLR top-k cut
+      "agg_ks_test", "agg_spearman", "llm_mix_temperature",
+      "llm_keyness_llr")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

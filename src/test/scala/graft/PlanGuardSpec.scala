@@ -95,7 +95,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_emb_dim_variance",
     // graph_modularity: the 1-row edge-count scalar broadcast into the
     // ≤25-community term table (as tpch_q22)
-    "graph_modularity")
+    "graph_modularity",
+    // llm_keyness_llr: the 1-row (ta, tb) corpus-total pair broadcast
+    // into the token count table (as llm_bm25)
+    "llm_keyness_llr",
+    // agg_cramers_v: the 1-row order-count scalar crossed into the 15
+    // contingency cells (as agg_chi2_independence)
+    "agg_cramers_v")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
@@ -122,7 +128,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_source_blocklist" -> "blocklist rank over the source-cardinality aggregate",
     "stream_late_drop" ->
       ("watermark lag over the 5-min batch aggregate (calendar-bounded: " +
-        "grows with the time span, never the row count)"))
+        "grows with the time span, never the row count)"),
+    "graph_degree_hist" -> "share-of-total over the <=7-row log2 degree-bucket table",
+    "llm_mix_temperature" ->
+      "normalizing sums over the 20-row per-source mix aggregate")
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

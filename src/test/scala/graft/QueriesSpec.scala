@@ -48,7 +48,8 @@ class QueriesSpec extends AnyFunSuite {
       RobustStatsQueries.queries, SessionSurfaceQueries.queries,
       VectorAuditQueries.queries, CurationRulesQueries.queries,
       Round6Queries.queries, Round6bQueries.queries, Round6cQueries.queries,
-      Round6dQueries.queries, Round6eQueries.queries, Round6fQueries.queries)
+      Round6dQueries.queries, Round6eQueries.queries, Round6fQueries.queries,
+      Round7Queries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
