@@ -63,7 +63,13 @@ object PlanAudit {
       "win_cusum_alarm", "stream_interval_join",
       // round-6 wave 6: constant-memory sketch, community structure,
       // consecutive-week growth self-joins
-      "llm_sketch_cms", "graph_modularity", "agg_growth_accounting")
+      "llm_sketch_cms", "graph_modularity", "agg_growth_accounting",
+      // round-7: the withRunningSums CDF kernel, double-rank Spearman,
+      // cell-keyed SemDeDup, decimal-ordered link-prediction top-k,
+      // analytic-JSD token join, calendar-bounded trend/EWMA
+      "agg_ks_test", "agg_spearman", "llm_dedup_semantic",
+      "graph_adamic_adar", "llm_js_divergence", "agg_trend_mann_kendall",
+      "win_ewma_daily", "agg_psi_drift")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

@@ -101,7 +101,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_keyness_llr",
     // agg_cramers_v: the 1-row order-count scalar crossed into the 15
     // contingency cells (as agg_chi2_independence)
-    "agg_cramers_v")
+    "agg_cramers_v",
+    // llm_js_divergence / llm_pmi_collocations: the 1-row corpus-total
+    // scalar broadcast into the token / bigram tables (as llm_bm25)
+    "llm_js_divergence", "llm_pmi_collocations")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
