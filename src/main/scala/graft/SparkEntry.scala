@@ -41,7 +41,8 @@ object SparkEntry {
       Round6Queries.queries ++ Round6bQueries.queries ++
       Round6cQueries.queries ++ Round6dQueries.queries ++
       Round6eQueries.queries ++ Round6fQueries.queries ++
-      Round7Queries.queries ++ Round7bQueries.queries
+      Round7Queries.queries ++ Round7bQueries.queries ++
+      Round7cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -68,5 +69,6 @@ object SparkEntry {
       Round6Queries.oracles ++ Round6bQueries.oracles ++
       Round6cQueries.oracles ++ Round6dQueries.oracles ++
       Round6eQueries.oracles ++ Round6fQueries.oracles ++
-      Round7Queries.oracles ++ Round7bQueries.oracles
+      Round7Queries.oracles ++ Round7bQueries.oracles ++
+      Round7cQueries.oracles
 }

@@ -88,30 +88,32 @@ object Round7Queries {
 
     // ---- Spearman rank correlation --------------------------------------
     // Monotone association between quantity and price over the whole
-    // lineitem fact: midranks (ANSI average-rank ties) from TWO
-    // GlobalRank passes — never a single-task window — with the
-    // per-value tie group attached by a value-keyed equi-join. Doubled
-    // midranks (lo+hi) keep every moment an exact integer/decimal sum
+    // lineitem fact. ANSI midranks depend only on PER-VALUE counts:
+    // with hi(v) = Σ_{v'≤v} cnt(v') (a distributed prefix sum via
+    // GlobalRank.withRunningSums over the DISTINCT-VALUE table, never
+    // the rows), the doubled midrank is lo+hi = 2·hi − cnt + 1 — so
+    // the rank stage shuffles |distinct values| rows, not the fact
+    // (the r7 MicroBench found the row-level double-rank form ~2×
+    // slower at sf0.1). Midranks rejoin the fact by value: the ~50-row
+    // quantity table broadcast, the price table value-equi-keyed.
+    // Doubled midranks keep every moment an exact integer/decimal sum
     // (the ×2 cancels from ρ); the closed form is one fixed-order
     // double expression, rounded to 6dp.
     "agg_spearman" -> ((s, dir) => {
       val base = Tables.lineitem(s, dir).select(
-        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
         col("l_quantity").cast(DecimalType(18, 2)).as("x"),
         col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
-      val rx = GlobalRank.withSeq(base, "rnx",
-        Seq(col("x").asc, col("ok").asc, col("ln").asc))
-      val gx = rx.groupBy(col("x").as("x2"))
-        .agg(min("rnx").as("lox"), max("rnx").as("hix"))
-      val wx = rx.join(gx, col("x") === col("x2"))
-        .withColumn("r2x", col("lox") + col("hix"))
-        .select("ok", "ln", "x", "y", "r2x")
-      val ry = GlobalRank.withSeq(wx, "rny",
-        Seq(col("y").asc, col("ok").asc, col("ln").asc))
-      val gy = ry.groupBy(col("y").as("y2"))
-        .agg(min("rny").as("loy"), max("rny").as("hiy"))
-      val rows = ry.join(gy, col("y") === col("y2"))
-        .withColumn("r2y", col("loy") + col("hiy"))
+      val xr = GlobalRank.withRunningSums(
+          base.groupBy("x").agg(count(lit(1)).as("cx")),
+          Seq((col("cx"), "hx", "__nx")), Seq.empty, Seq(col("x").asc))
+        .select(col("x").as("x2"), (col("hx") * 2 - col("cx") + 1).as("r2x"))
+      val yr = GlobalRank.withRunningSums(
+          base.groupBy("y").agg(count(lit(1)).as("cy")),
+          Seq((col("cy"), "hy", "__ny")), Seq.empty, Seq(col("y").asc))
+        .select(col("y").as("y2"), (col("hy") * 2 - col("cy") + 1).as("r2y"))
+      val rows = base
+        .join(broadcast(xr), col("x") === col("x2"))
+        .join(yr, col("y") === col("y2"))
       def dec19(c: org.apache.spark.sql.Column) = c.cast(DecimalType(19, 0))
       val m = rows.agg(count(lit(1)).as("n"),
         sum("r2x").as("sx"), sum("r2y").as("sy"),

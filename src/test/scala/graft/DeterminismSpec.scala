@@ -60,7 +60,8 @@ class DeterminismSpec extends AnyFunSuite {
       // round-7 GlobalRank riders (runsum CDFs, double rank passes) +
       // the rounded-pow normalizer and rounded-LLR top-k cut
       "agg_ks_test", "agg_spearman", "llm_mix_temperature",
-      "llm_keyness_llr", "llm_pmi_collocations")) {
+      "llm_keyness_llr", "llm_pmi_collocations",
+      "llm_ann_ndcg", "win_rank_delta", "agg_jackknife_nation")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

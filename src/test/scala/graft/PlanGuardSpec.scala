@@ -104,7 +104,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_cramers_v",
     // llm_js_divergence / llm_pmi_collocations: the 1-row corpus-total
     // scalar broadcast into the token / bigram tables (as llm_bm25)
-    "llm_js_divergence", "llm_pmi_collocations")
+    "llm_js_divergence", "llm_pmi_collocations",
+    // llm_ann_ndcg: the recall10 shape — 256-row eval slice + 64-row
+    // centroid table + 1-row (n, idcg) normalizer, all constant-bounded
+    "llm_ann_ndcg")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
@@ -134,7 +137,9 @@ class PlanGuardSpec extends AnyFunSuite {
         "grows with the time span, never the row count)"),
     "graph_degree_hist" -> "share-of-total over the <=7-row log2 degree-bucket table",
     "llm_mix_temperature" ->
-      "normalizing sums over the 20-row per-source mix aggregate")
+      "normalizing sums over the 20-row per-source mix aggregate",
+    "agg_jackknife_nation" ->
+      "leave-one-out moments over the 25-row per-nation aggregate")
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

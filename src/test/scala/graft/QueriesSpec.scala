@@ -49,7 +49,8 @@ class QueriesSpec extends AnyFunSuite {
       VectorAuditQueries.queries, CurationRulesQueries.queries,
       Round6Queries.queries, Round6bQueries.queries, Round6cQueries.queries,
       Round6dQueries.queries, Round6eQueries.queries, Round6fQueries.queries,
-      Round7Queries.queries, Round7bQueries.queries)
+      Round7Queries.queries, Round7bQueries.queries,
+      Round7cQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
