@@ -69,7 +69,10 @@ object PlanAudit {
       // analytic-JSD token join, calendar-bounded trend/EWMA
       "agg_ks_test", "agg_spearman", "llm_dedup_semantic",
       "graph_adamic_adar", "llm_js_divergence", "agg_trend_mann_kendall",
-      "win_ewma_daily", "agg_psi_drift")
+      "win_ewma_daily", "agg_psi_drift",
+      // round-7 third wave: recursive CTE (UnionLoop), NDCG probe,
+      // month-partitioned GlobalRank movers
+      "sub_recursive_reach", "llm_ann_ndcg", "win_rank_delta")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString
