@@ -42,7 +42,9 @@ object SparkEntry {
       Round6cQueries.queries ++ Round6dQueries.queries ++
       Round6eQueries.queries ++ Round6fQueries.queries ++
       Round7Queries.queries ++ Round7bQueries.queries ++
-      Round7cQueries.queries
+      Round7cQueries.queries ++ Round7dQueries.queries ++
+      Round7eQueries.queries ++ Round7fQueries.queries ++
+      Round7gQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -70,5 +72,7 @@ object SparkEntry {
       Round6cQueries.oracles ++ Round6dQueries.oracles ++
       Round6eQueries.oracles ++ Round6fQueries.oracles ++
       Round7Queries.oracles ++ Round7bQueries.oracles ++
-      Round7cQueries.oracles
+      Round7cQueries.oracles ++ Round7dQueries.oracles ++
+      Round7eQueries.oracles ++ Round7fQueries.oracles ++
+      Round7gQueries.oracles
 }

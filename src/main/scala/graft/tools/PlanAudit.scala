@@ -72,7 +72,12 @@ object PlanAudit {
       "win_ewma_daily", "agg_psi_drift",
       // round-7 third wave: recursive CTE (UnionLoop), NDCG probe,
       // month-partitioned GlobalRank movers
-      "sub_recursive_reach", "llm_ann_ndcg", "win_rank_delta")
+      "sub_recursive_reach", "llm_ann_ndcg", "win_rank_delta",
+      // round-7 waves 4/5: broadcast grid spatial join, hashed-feature
+      // broadcast LM, explode+combine bootstrap, multi-source BFS,
+      // range-frame decomposition
+      "join_spatial_grid", "llm_dsir_weights", "agg_bootstrap_se",
+      "graph_harmonic_centrality", "win_seasonal_decompose")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

@@ -61,7 +61,10 @@ class DeterminismSpec extends AnyFunSuite {
       // the rounded-pow normalizer and rounded-LLR top-k cut
       "agg_ks_test", "agg_spearman", "llm_mix_temperature",
       "llm_keyness_llr", "llm_pmi_collocations",
-      "llm_ann_ndcg", "win_rank_delta", "agg_jackknife_nation")) {
+      "llm_ann_ndcg", "win_rank_delta", "agg_jackknife_nation",
+      // wave-4 rank/threshold cuts on rounded doubles: pairwise-slope
+      // median selection, DSIR top-25 weight cut, BH step-up on p
+      "agg_theil_sen", "llm_dsir_weights", "agg_fdr_bh")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

@@ -139,7 +139,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_mix_temperature" ->
       "normalizing sums over the 20-row per-source mix aggregate",
     "agg_jackknife_nation" ->
-      "leave-one-out moments over the 25-row per-nation aggregate")
+      "leave-one-out moments over the 25-row per-nation aggregate",
+    "llm_dsir_weights" ->
+      "normalizing totals over the 128-row hashed-feature bucket table",
+    "agg_fdr_bh" ->
+      "BH rank/step-up windows over the 35-row hypothesis table")
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -50,7 +50,9 @@ class QueriesSpec extends AnyFunSuite {
       Round6Queries.queries, Round6bQueries.queries, Round6cQueries.queries,
       Round6dQueries.queries, Round6eQueries.queries, Round6fQueries.queries,
       Round7Queries.queries, Round7bQueries.queries,
-      Round7cQueries.queries)
+      Round7cQueries.queries, Round7dQueries.queries,
+      Round7eQueries.queries, Round7fQueries.queries,
+      Round7gQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
