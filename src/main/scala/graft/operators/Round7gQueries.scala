@@ -32,8 +32,11 @@ object Round7gQueries {
     // sums — never a rounded double; index numerators/denominators are
     // exact (38,0) decimal products; each index is one double division,
     // 6dp-rounded identically on both engines. One (part, month)
-    // aggregate + one self-join on (part, month−1): both shuffles keyed
-    // by partkey-month, no global stage anywhere.
+    // aggregate, then one partkey-keyed LAG window instead of a month
+    // self-join — a consecutive-calendar pair is necessarily adjacent
+    // in the part's sorted month sequence, so lag(1) + a month
+    // adjacency filter pairs exactly the same rows at half the
+    // shuffles (measured ~2x over the materialize+self-join form).
     "agg_price_index" -> ((s, dir) => {
       val pm = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"), trunc(col("l_shipdate"), "mm").as("month"))
@@ -43,21 +46,20 @@ object Round7gQueries {
             .cast("long").as("qc"))
         .select(col("l_partkey"), col("month"), col("qc"),
           expr("(2 * epc * 1000000 + qc) div (2 * qc)").as("pu"))
-      // both sides of the month self-join read this aggregate; renamed
-      // projections defeat exchange reuse, so build it once
-      val pmX = graft.tools.Materialize.eager("price.pm", pm)
-      val cur = pmX.toDF("pk", "m1", "q1", "p1")
-      val prev = pmX.toDF("pk2", "m0", "q0", "p0")
+      val wlag = Window.partitionBy("l_partkey").orderBy("month")
       def prod(a: Column, b: Column): Column =
         a.cast(DecimalType(19, 0)) * b.cast(DecimalType(19, 0))
-      cur.join(prev,
-          col("pk") === col("pk2") && col("m1") === add_months(col("m0"), 1))
-        .groupBy(col("m1").as("month"))
+      pm
+        .withColumn("m0", lag("month", 1).over(wlag))
+        .withColumn("p0", lag("pu", 1).over(wlag))
+        .withColumn("q0", lag("qc", 1).over(wlag))
+        .where(col("month") === add_months(col("m0"), 1))
+        .groupBy(col("month"))
         .agg(count(lit(1)).as("n_parts"),
-          sum(prod(col("p1"), col("q0"))).as("lnum"),
+          sum(prod(col("pu"), col("q0"))).as("lnum"),
           sum(prod(col("p0"), col("q0"))).as("lden"),
-          sum(prod(col("p1"), col("q1"))).as("pnum"),
-          sum(prod(col("p0"), col("q1"))).as("pden"))
+          sum(prod(col("pu"), col("qc"))).as("pnum"),
+          sum(prod(col("p0"), col("qc"))).as("pden"))
         .select(col("month"), col("n_parts"),
           round(d(col("lnum")) / d(col("lden")), 6).as("laspeyres"),
           round(d(col("pnum")) / d(col("pden")), 6).as("paasche"),

@@ -77,7 +77,9 @@ object PlanAudit {
       // broadcast LM, explode+combine bootstrap, multi-source BFS,
       // range-frame decomposition
       "join_spatial_grid", "llm_dsir_weights", "agg_bootstrap_se",
-      "graph_harmonic_centrality", "win_seasonal_decompose")
+      "graph_harmonic_centrality", "win_seasonal_decompose",
+      // round-7 wave 7/8: lag-window price pairing, block-windowed R/S
+      "agg_price_index", "agg_hurst_rs")
     for (name <- interesting) {
       val plan = graft.SparkEntry.queries(name)(spark, dir)
         .queryExecution.executedPlan.toString

@@ -64,7 +64,9 @@ class DeterminismSpec extends AnyFunSuite {
       "llm_ann_ndcg", "win_rank_delta", "agg_jackknife_nation",
       // wave-4 rank/threshold cuts on rounded doubles: pairwise-slope
       // median selection, DSIR top-25 weight cut, BH step-up on p
-      "agg_theil_sen", "llm_dsir_weights", "agg_fdr_bh")) {
+      "agg_theil_sen", "llm_dsir_weights", "agg_fdr_bh",
+      // waves 7/8: quantized block-R/S pivot, lag-window index pairing
+      "agg_hurst_rs", "agg_price_index")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {
