@@ -44,7 +44,8 @@ object SparkEntry {
       Round7Queries.queries ++ Round7bQueries.queries ++
       Round7cQueries.queries ++ Round7dQueries.queries ++
       Round7eQueries.queries ++ Round7fQueries.queries ++
-      Round7gQueries.queries ++ Round7hQueries.queries
+      Round7gQueries.queries ++ Round7hQueries.queries ++
+      Round7iQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -74,5 +75,6 @@ object SparkEntry {
       Round7Queries.oracles ++ Round7bQueries.oracles ++
       Round7cQueries.oracles ++ Round7dQueries.oracles ++
       Round7eQueries.oracles ++ Round7fQueries.oracles ++
-      Round7gQueries.oracles ++ Round7hQueries.oracles
+      Round7gQueries.oracles ++ Round7hQueries.oracles ++
+      Round7iQueries.oracles
 }
