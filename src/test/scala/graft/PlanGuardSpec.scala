@@ -72,6 +72,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // llm_idf_drift: the 1-row (na, nb) half-size pair broadcast into
     // the token df table (as llm_vocab_growth)
     "llm_idf_drift",
+    // llm_burstiness: the 1-row corpus doc-count scalar broadcast into
+    // the 20-row top-df token table (as llm_unigram_logprob)
+    "llm_burstiness",
     // agg_survival_km: the 1-row corpus-horizon max-date scalar
     // broadcast into the per-customer censor rows (as agg_rfm_segments)
     "agg_survival_km",

@@ -53,7 +53,7 @@ class QueriesSpec extends AnyFunSuite {
       Round7cQueries.queries, Round7dQueries.queries,
       Round7eQueries.queries, Round7fQueries.queries,
       Round7gQueries.queries, Round7hQueries.queries,
-      Round7iQueries.queries)
+      Round7iQueries.queries, Round7jQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
