@@ -31,20 +31,6 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
-    // The warm-up pass above populated the build-once artifact memo
-    // (ANN codebook, pair lists, cluster labels). Left in place, every
-    // timed consumer of an artifact would be a cache hit and the timed
-    // loop would never measure the builds at all. Clearing here makes
-    // the timed loop honest: the FIRST timed consumer of each artifact
-    // pays its full build (so every declared computation is measured
-    // exactly once); later consumers reuse it, which is the declared
-    // build-once semantics. JIT/codegen warm-up is unaffected (the
-    // codegen cache is JVM-level, not part of this memo).
-    graft.tools.IndexCache.clear()
-    // drop warm-up garbage (and let the ContextCleaner release its
-    // broadcasts) so the first timed query doesn't pay a full GC
-    System.gc()
-    Thread.sleep(500)
     // Fixed cheap-first timed order: trivial parquet scans absorb the
     // residual sf-specific JIT/GC tax, then everything else alphabetically.
     // (SparkEntry.queries is an unordered Map; in round 1 whichever heavy
@@ -56,43 +42,88 @@ object Bench {
     // below splits that consumer's wall time into "artifact build" vs
     // "query" so a 17 s graph_bfs_hops line reads as "near-pair build
     // + 1.7 s query" instead of a 17 s query (r6 verdict item 3).
-    val artifacts = scala.collection.mutable.LinkedHashMap[String, (Double, String)]()
-    val results = ordered.map { name =>
-      val fn = SparkEntry.queries(name)
-      // untimed full GC per query: earlier queries' shuffle/broadcast
-      // garbage (and the ContextCleaner work it triggers) must not be
-      // paid inside a later query's timing — measured: the heavy dedup
-      // queries ran up to 7x their steady-state cost when the first GC
-      // of the timed loop landed inside them
+    val artifacts = scala.collection.mutable.LinkedHashMap[String, (Double, String, Boolean)]()
+    // MEDIAN-OF-N RECORDING (r7 verdict item 4): single-run timings
+    // drift ±15% run to run on this machine, so one full timed loop per
+    // run, N runs, and the recorded per-query number is the across-run
+    // MEDIAN — movement below ~2x in a single run is noise, the median
+    // is stable enough to compare across rounds. The memo is cleared
+    // before EVERY run so each run's first consumer pays each artifact
+    // build (same semantics as the old single run, now sampled N times).
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val perRun: Seq[Seq[(String, Double)]] = (1 to benchRuns).map { run =>
+      // The warm-up pass (and any prior run) populated the build-once
+      // artifact memo (ANN codebook, pair lists, cluster labels). Left
+      // in place, every timed consumer of an artifact would be a cache
+      // hit and the timed loop would never measure the builds at all.
+      // Clearing makes each timed run honest: the FIRST timed consumer
+      // of each artifact pays its full build (so every declared
+      // computation is measured exactly once per run); later consumers
+      // reuse it, which is the declared build-once semantics.
+      // JIT/codegen warm-up is unaffected (the codegen cache is
+      // JVM-level, not part of this memo).
+      graft.tools.IndexCache.clear()
+      // drop prior-loop garbage (and let the ContextCleaner release its
+      // broadcasts) so the first timed query doesn't pay a full GC
       System.gc()
-      val builtBefore = graft.tools.IndexCache.buildTimes.map(_._1).toSet
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+      Thread.sleep(500)
+      ordered.map { name =>
+        val fn = SparkEntry.queries(name)
+        // untimed full GC per query: earlier queries' shuffle/broadcast
+        // garbage (and the ContextCleaner work it triggers) must not be
+        // paid inside a later query's timing — measured: the heavy dedup
+        // queries ran up to 7x their steady-state cost when the first GC
+        // of the timed loop landed inside them
+        System.gc()
+        val builtBefore = graft.tools.IndexCache.buildTimes.map(_._1).toSet
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed (run $run): ${e.getMessage}")
+            false
+        }
+        // attribution comes from run 1 (identical build set every run);
+        // a build that ran during a FAILED consumer still happened (and
+        // later queries cache-hit it), so it stays in the ledger — but
+        // flagged, because its consumer's timing is the -1.0 sentinel
+        // and the build/query split is not reconstructible from it
+        if (run == 1) {
+          for ((key, sec) <- graft.tools.IndexCache.buildTimes
+              if !builtBefore.contains(key)) {
+            artifacts(key) = (sec, name, ok)
+          }
+        }
+        // a failed query must not masquerade as a fast timing
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
-      for ((key, sec) <- graft.tools.IndexCache.buildTimes
-          if !builtBefore.contains(key)) {
-        artifacts(key) = (sec, name)
-      }
-      // a failed query must not masquerade as a fast timing
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // per-query median across runs; any run's failure marks the query
+    // failed (an intermittent failure must not hide behind the median)
+    val results = ordered.map { name =>
+      val ts = perRun.map(_.toMap.apply(name))
+      name -> (if (ts.exists(_ < 0)) -1.0
+               else ts.sorted.apply(ts.size / 2))
+    }
+    val runTotals = perRun.map(r => r.collect { case (_, v) if v >= 0 => v }.sum)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val artJson = artifacts.map { case (k, (sec, consumer)) =>
+    val artJson = artifacts.map { case (k, (sec, consumer, consumerOk)) =>
       s"\"" + k + "\":{\"build_sec\":" + sec +
-        ",\"first_timed_consumer\":\"" + consumer + "\"}"
+        ",\"first_timed_consumer\":\"" + consumer + "\"" +
+        (if (consumerOk) "" else ",\"consumer_failed\":true") + "}"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }
     // total over successful timings only — a -1.0 sentinel must not
-    // subtract from the headline number
+    // subtract from the headline number. The headline is the sum of
+    // per-query MEDIANS; run_totals carries the raw per-run sums so the
+    // drift envelope stays legible.
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val runTotalsJson = runTotals.mkString("[", ",", "]")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""artifacts":$artJson,"failed":$failedJson,"sf":"$sfDir"}"""
+        s""""artifacts":$artJson,"failed":$failedJson,""" +
+        s""""runs":$benchRuns,"run_totals":$runTotalsJson,"sf":"$sfDir"}"""
     // The driver parses stdout, but sbt wraps stdout in [info] noise, so
     // ALSO persist the same JSON to a fixed file in the working directory.
     try {

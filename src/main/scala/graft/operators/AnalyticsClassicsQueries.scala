@@ -74,7 +74,8 @@ object AnalyticsClassicsQueries {
               (-col("monetary")).cast(DoubleType).as("skey")))).as("d"))
         .select(col("o_custkey"), col("d.dim").as("dim"), col("d.skey").as("skey"))
       val scores = GlobalRank.withSeqAndCount(melted, "__rk", "__n",
-          Seq("dim"), Seq(col("skey").asc, col("o_custkey").asc))
+          Seq("dim"), Seq(col("skey").asc, col("o_custkey").asc),
+          groupsHint = 3) // exactly the r/f/m dims by construction
         .withColumn("score", GlobalRank.ntileFromSeq("__rk", "__n", 5).cast("long"))
         .groupBy("o_custkey")
         .agg(max(when(col("dim") === "r", col("score"))).as("r_score"),

@@ -90,7 +90,8 @@ object Round2Queries {
           // event_id tiebreak: GlobalRank requires a TOTAL order (its two
           // plan branches must agree on every row's sequence number); the
           // tie-group min/max below restores ANSI peer semantics exactly
-          Seq(col("value").asc, col("event_id").asc))
+          Seq(col("value").asc, col("event_id").asc),
+          groupsHint = 16) // 5 event types in the schema
         .select(col("event_id"), col("event_type"), col("value"),
           GlobalRank.percentRankFromSeq(min("__rk").over(wTie), col("__n")).as("pr"),
           GlobalRank.cumeDistFromSeq(max("__rk").over(wTie), col("__n")).as("cd"))

@@ -131,7 +131,8 @@ object Round6Queries {
         .select(col("c_mktsegment"), col("o_orderkey"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
       val ranked = GlobalRank.withSeqAndCount(o, "rn", "n_all",
-          Seq("c_mktsegment"), Seq(col("p").desc, col("o_orderkey")))
+          Seq("c_mktsegment"), Seq(col("p").desc, col("o_orderkey")),
+          groupsHint = 8) // TPC-H has 5 market segments
         .where(col("rn") <= k + 1)
       val xk1 = ranked.where(col("rn") === k + 1)
         .select(col("c_mktsegment"), col("p").as("xk1"))

@@ -228,7 +228,8 @@ object Round6bQueries {
     "topk_diverse_sources" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
       GlobalRank.withSeqAndCount(d, "rn_src", "__n_src", Seq("source"),
-          Seq(col("n_chars").desc, col("doc_id").asc))
+          Seq(col("n_chars").desc, col("doc_id").asc),
+          groupsHint = 64) // crawl/curated source registry, dozens not thousands
         .where(col("rn_src") <= 2)
         .select(col("doc_id"), col("source"), col("n_chars"), col("rn_src"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)

@@ -93,7 +93,8 @@ object Round6dQueries {
         (col("user_id") % 2 === 0).as("treat"),
         col("value").cast(DecimalType(18, 6)).as("v"))
       val ranked = GlobalRank.withSeqAndCount(ev, "rn", "n_all",
-        Seq("event_type"), Seq(col("v").asc, col("event_id").asc))
+        Seq("event_type"), Seq(col("v").asc, col("event_id").asc),
+        groupsHint = 16) // 5 event types in the schema
       val grp = ranked.groupBy("event_type", "v")
         .agg(min("rn").as("lo"), max("rn").as("hi"), count(lit(1)).as("t"),
           count_if(col("treat")).as("t_treat"))

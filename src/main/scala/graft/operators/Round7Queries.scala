@@ -44,7 +44,8 @@ object Round7Queries {
         .agg(count_if(col("treat")).as("ct"), count_if(!col("treat")).as("cc"))
       val r = GlobalRank.withRunningSums(g,
         Seq((col("ct"), "rt", "n_treat"), (col("cc"), "rc", "n_ctrl")),
-        Seq("event_type"), Seq(col("v").asc))
+        Seq("event_type"), Seq(col("v").asc),
+        groupsHint = 16) // 5 event types in the schema
       r.select(col("event_type"), col("n_treat"), col("n_ctrl"),
           abs(col("rt").cast(DoubleType) / col("n_treat").cast(DoubleType)
             - col("rc").cast(DoubleType) / col("n_ctrl").cast(DoubleType))
@@ -74,15 +75,22 @@ object Round7Queries {
         sum(when(!col("treat"), col("v"))).as("s2"),
         sum(when(col("treat"), col("v2"))).as("q1"),
         sum(when(!col("treat"), col("v2"))).as("q2"))
+      // a, b = the two arms' s²/n standard-error terms; t = Δmean/√(a+b),
+      // df = (a+b)² / (a²/(n1−1) + b²/(n2−1)) — one fixed-order double
+      // closed form each, mirrored operation-for-operation in the oracle
+      val a = (d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1"))) /
+        (d(col("n1")) - 1) / d(col("n1"))
+      val b = (d(col("q2")) - d(col("s2")) * d(col("s2")) / d(col("n2"))) /
+        (d(col("n2")) - 1) / d(col("n2"))
       m.select(col("event_type"), col("n1").as("n_treat"), col("n2").as("n_ctrl"),
           round(d(col("s1")) / d(col("n1")), 6).as("mean_treat"),
           round(d(col("s2")) / d(col("n2")), 6).as("mean_ctrl"),
           round(
             (d(col("s1")) / d(col("n1")) - d(col("s2")) / d(col("n2"))) /
-              sqrt((d(col("q1")) - d(col("s1")) * d(col("s1")) / d(col("n1")))
-                  / (d(col("n1")) - 1) / d(col("n1"))
-                + (d(col("q2")) - d(col("s2")) * d(col("s2")) / d(col("n2")))
-                  / (d(col("n2")) - 1) / d(col("n2"))), 6).as("t_stat"))
+              sqrt(a + b), 6).as("t_stat"),
+          round((a + b) * (a + b) /
+            (a * a / (d(col("n1")) - 1) + b * b / (d(col("n2")) - 1)), 6)
+            .as("df"))
         .orderBy("event_type")
     }),
 
@@ -475,18 +483,22 @@ object Round7Queries {
       |    CAST(count(*) FILTER (NOT treat) AS BIGINT) AS n2,
       |    sum(v) FILTER (treat) AS s1, sum(v) FILTER (NOT treat) AS s2,
       |    sum(v2) FILTER (treat) AS q1, sum(v2) FILTER (NOT treat) AS q2
-      |  FROM ev GROUP BY event_type)
+      |  FROM ev GROUP BY event_type),
+      |se AS (SELECT event_type, n1, n2, s1, s2,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+      |      / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE) AS a,
+      |    (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |      / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE) AS b
+      |  FROM m)
       |SELECT event_type, n1 AS n_treat, n2 AS n_ctrl,
       |  round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_treat,
       |  round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean_ctrl,
       |  round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-      |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) /
-      |    sqrt((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-      |          / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE)
-      |      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-      |          / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE)),
-      |    6) AS t_stat
-      |FROM m ORDER BY event_type""".stripMargin,
+      |      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(a + b), 6) AS t_stat,
+      |  round((a + b) * (a + b) /
+      |    (a * a / (CAST(n1 AS DOUBLE) - 1)
+      |     + b * b / (CAST(n2 AS DOUBLE) - 1)), 6) AS df
+      |FROM se ORDER BY event_type""".stripMargin,
 
     "agg_spearman" -> """
       |WITH b AS (SELECT l_orderkey AS ok, l_linenumber AS ln,

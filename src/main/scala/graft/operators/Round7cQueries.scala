@@ -187,8 +187,12 @@ object Round7cQueries {
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
             .cast("long").as("ym"))
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+      // ~80 corpus-lifetime months today; 256 covers two decades of
+      // growth while keeping width × groups ≤ MaxOffsetsRows (the
+      // many-group part that motivated the r7-verdict product bound)
       val ranked = GlobalRank.withSeqAndCount(monthly, "rk", "__n",
-        Seq("ym"), Seq(col("rev").desc, col("o_custkey").asc))
+        Seq("ym"), Seq(col("rev").desc, col("o_custkey").asc),
+        groupsHint = 256)
       val cur = ranked.select(col("o_custkey"), col("ym"), col("rk"))
       val prev = ranked.select(col("o_custkey").as("ck2"),
         (col("ym") + 1).as("ym2"), col("rk").as("rk_prev"))

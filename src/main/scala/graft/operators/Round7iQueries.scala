@@ -87,8 +87,18 @@ object Round7iQueries {
         .withColumn("lo", min("xu").over(w14))
         .withColumn("hi", max("xu").over(w14))
         .where(col("n14") === 14)
+        // int64 range bound: the half-up numerator is ≤ (2e6+1)·spread,
+        // so spread must stay < 2^63 / 2.000001e6 ≈ 4.61e12 µu (~$4.6M
+        // 14-day daily-sum spread). DuckDB raises on the overflow;
+        // Spark would silently wrap — guard it to the same loud failure
+        // instead of a cross-engine divergence. (win_bollinger_bands
+        // downshifts to centi-units for headroom; here the guard keeps
+        // the µu precision and makes the bound explicit.)
         .withColumn("ku",
-          when(col("hi") === col("lo"), lit(500000L))
+          when(col("hi") - col("lo") > lit(4500000000000L), raise_error(lit(
+            "win_stochastic_osc: 14-day micro-unit spread exceeds the " +
+              "int64-safe bound (~4.6e12 µu); downshift to centi-units")))
+            .when(col("hi") === col("lo"), lit(500000L))
             .otherwise(expr(
               "(2000000 * (xu - lo) + (hi - lo)) div (2 * (hi - lo))")))
       val w3 = wo.rowsBetween(-2, Window.currentRow)

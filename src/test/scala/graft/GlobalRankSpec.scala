@@ -95,6 +95,62 @@ class GlobalRankSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("derivedWidth bounds the offsets broadcast by the PRODUCT width × groups") {
+    // r7 verdict item 2: the broadcast offsets table holds width ×
+    // |groups| rows; the cap must bound the product, not just the width
+    import GlobalRank.{derivedWidth, MaxDerivedPartitions, MaxOffsetsRows}
+    // global pass: session width wins until the 2^15 cap
+    assert(derivedWidth(8000, 1) == 8000)
+    assert(derivedWidth(100000, 1) == MaxDerivedPartitions)
+    // the win_rank_delta shape: a 256-group part on a big cluster gets
+    // 1M/256 = 4096-way rank stages, not the raw 2^15
+    assert(derivedWidth(32768, 256) == 4096)
+    // unhinted partitioned call on a big cluster: conservative 2^10
+    assert(derivedWidth(50000, GlobalRank.AssumedGroupsNoHint) == 1024)
+    // harness-sized sessions are never touched by the cap
+    assert(derivedWidth(32, 256) == 32)
+    // degenerate inputs stay sane
+    assert(derivedWidth(0, 1) == 1)
+    assert(derivedWidth(8000, Int.MaxValue) == 1)
+    // the invariant itself, across a grid
+    for (sess <- Seq(1, 32, 8000, 100000);
+         g <- Seq(1, 5, 80, 256, 1024, 65536)) {
+      val w = derivedWidth(sess, g)
+      assert(w.toLong * g <= math.max(g.toLong, MaxOffsetsRows.toLong),
+        s"sess=$sess groups=$g width=$w breaks the product bound")
+      assert(w >= 1 && w <= MaxDerivedPartitions)
+    }
+  }
+
+  test("many-group part: derived width honors the bound with hashes unchanged") {
+    // a ~120-group part (the win_rank_delta shape in miniature): both
+    // the unhinted (AssumedGroupsNoHint) and hinted derivations must
+    // produce EXACTLY the plain-window ranks — the bound only narrows
+    // the range width, never the values
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      val r = new scala.util.Random(31L)
+      val df = (0 until 1200).map(i =>
+          (i.toLong, r.nextInt(120), r.nextInt(7), r.nextDouble()))
+        .toDF("id", "grp", "k", "v")
+      val w = Window.partitionBy("grp").orderBy("k", "id")
+      val want = rows(df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select("id", "rn", "cnt"))
+      for (hint <- Seq(0, 120)) {
+        val got = GlobalRank.withSeqAndCount(df, "rn", "cnt", Seq("grp"),
+          Seq(col("k"), col("id")), groupsHint = hint)
+        // width derives from the session (11 ≤ every cap here) — the
+        // bound is a ceiling, not a narrowing, at harness scale
+        assert(got.rdd.getNumPartitions == 11, s"hint=$hint")
+        assert(rows(got.select("id", "rn", "cnt")) == want, s"hint=$hint")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("ntileFromSeq matches Spark's ntile for every bucket count") {
     for (n <- Seq(1, 4, 37, 200); b <- Seq(1, 3, 4, 10)) {
       val df = randDf(11L, n, 13)
