@@ -26,7 +26,9 @@ import org.apache.spark.sql.DataFrame
   * which survives executor loss. The single-JVM harness keeps the
   * local default — there is no executor to lose, and the reliable
   * path's extra write+read would only add noise to the bench.
-  * SCALING.md §"Checkpoint durability" carries the full discussion.
+  * SCALING.md §"Checkpoint durability" carries the full discussion;
+  * ReliableCheckpointSpec executes the reliable path against all three
+  * eager-stage families and pins byte-identical output.
   */
 object Materialize {
 
