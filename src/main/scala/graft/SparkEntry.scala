@@ -45,7 +45,8 @@ object SparkEntry {
       Round7cQueries.queries ++ Round7dQueries.queries ++
       Round7eQueries.queries ++ Round7fQueries.queries ++
       Round7gQueries.queries ++ Round7hQueries.queries ++
-      Round7iQueries.queries ++ Round7jQueries.queries
+      Round7iQueries.queries ++ Round7jQueries.queries ++
+      Round8Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -76,5 +77,6 @@ object SparkEntry {
       Round7cQueries.oracles ++ Round7dQueries.oracles ++
       Round7eQueries.oracles ++ Round7fQueries.oracles ++
       Round7gQueries.oracles ++ Round7hQueries.oracles ++
-      Round7iQueries.oracles ++ Round7jQueries.oracles
+      Round7iQueries.oracles ++ Round7jQueries.oracles ++
+      Round8Queries.oracles
 }

@@ -10,8 +10,9 @@ import graft.sources.Tables
   * `fn_variant` exercises Spark 4's VariantType (parse_json →
   * variant_get typed extraction, missing-path null semantics) — the
   * shredded semi-structured type that replaces string-JSON hot paths;
-  * `llm_bpe_merges` is the first iteration of BPE tokenizer training
-  * (adjacent character-pair frequencies over the token stream);
+  * `llm_bpe_merges` is 3-round BPE tokenizer training over the
+  * weighted vocabulary (pair count → argmax merge → fold back into
+  * the symbol stream, per round);
   * `llm_entity_cooccur` mines collocations (PMI over top-50-token
   * co-occurrence — candidate pairs bounded by a constant top-k, never
   * corpus²).
@@ -38,22 +39,54 @@ object ModernSurfaceQueries {
         .orderBy("event_id")
     }),
 
-    // ---- BPE merge table, iteration 0 -----------------------------------
-    // Adjacent character-pair frequencies over every token occurrence —
-    // the statistic the first BPE merge is chosen from. Map-only
-    // double explode (tokens, then the token's length−1 pairs), one
-    // keyed count, distributed top-20. Single-char tokens are
-    // pair-free and filtered before the position explode.
+    // ---- BPE tokenizer training, 3 merge rounds -------------------------
+    // Real multi-iteration BPE (r7 verdict item 6), vocabulary-keyed:
+    // the symbol stream lives on DISTINCT token types weighted by
+    // occurrence count, so every round shuffles |vocab| rows, never the
+    // corpus. Each round counts adjacent symbol pairs, picks the
+    // winner ((n DESC, a, b) total order — a 1-row broadcast, no
+    // driver collect), and folds it back into the stream before the
+    // next count (the PageRank-style iterate; each round's stream is
+    // Materialize.eager'd so the N lazy consumers never re-run the
+    // chain). Merge mechanics: the stream is a sentinel-framed string
+    // " a  b  c " (single outer spaces, double inner), so ONE literal
+    // leftmost-non-overlapping replace of " a  b " with " ab " IS the
+    // greedy BPE merge scan — and Spark's StringReplace and DuckDB's
+    // replace() share exactly those semantics, making the 3 unrolled
+    // rounds hash-matchable. Output: (round, sym_a, sym_b, n), the
+    // merge table a tokenizer trainer would persist.
     "llm_bpe_merges" -> ((s, dir) => {
-      Tables.documents(s, dir)
+      val tok = Tables.documents(s, dir)
         .select(explode(toks).as("t"))
-        .where(length(col("t")) >= 2)
-        .select(explode(transform(
-          sequence(lit(1), length(col("t")) - lit(1)),
-          i => col("t").substr(i, lit(2)))).as("pair"))
-        .groupBy("pair").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("pair").asc)
-        .limit(20)
+        .groupBy("t").agg(count(lit(1)).as("cnt"))
+      // frame every char: "abc" -> " a  b  c ". [^ ] (not '.') so \n,
+      // \r frame identically in Java regex and RE2.
+      var cur = graft.tools.Materialize.eager("bpe.seq0",
+        tok.select(regexp_replace(col("t"), "([^ ])", " $1 ").as("seq"),
+          col("cnt")))
+      val winners = (1 to 3).map { round =>
+        val pairs = cur
+          .select(col("cnt"), split(trim(col("seq")), "  ").as("sym"))
+          .where(size(col("sym")) >= 2) // sequence(1,0) would descend
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(sym) - 1), " +
+              "i -> struct(sym[i-1] AS a, sym[i] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("cnt").as("n"))
+        val w = pairs.orderBy(col("n").desc, col("a").asc, col("b").asc)
+          .limit(1)
+        if (round < 3) {
+          cur = graft.tools.Materialize.eager(s"bpe.seq$round",
+            cur.crossJoin(broadcast(
+                w.select(col("a").as("__wa"), col("b").as("__wb"))))
+              .select(expr(
+                "replace(seq, ' ' || __wa || '  ' || __wb || ' ', " +
+                  "' ' || __wa || __wb || ' ')").as("seq"), col("cnt")))
+        }
+        w.select(lit(round.toLong).as("round"), col("a").as("sym_a"),
+          col("b").as("sym_b"), col("n"))
+      }
+      winners.reduce(_ union _).orderBy("round")
     }),
 
     // ---- PMI collocations over the top-50 vocabulary --------------------
@@ -98,14 +131,36 @@ object ModernSurfaceQueries {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "llm_bpe_merges" ->
-      """WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
-        |    x -> x <> '')) AS t FROM documents),
-        |p AS (SELECT substr(t, i, 2) AS pair
-        |  FROM t, unnest(generate_series(1, length(t) - 1)) AS u(i)
-        |  WHERE length(t) >= 2)
-        |SELECT pair, CAST(count(*) AS BIGINT) AS n
-        |FROM p GROUP BY pair
-        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+      """WITH tok AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) AS t FROM documents) GROUP BY t),
+        |s0 AS (SELECT regexp_replace(t, '([^ ])', ' \1 ', 'g') AS seq, cnt
+        |  FROM tok),
+        |p1 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT string_split(trim(seq), '  ') AS sym, cnt FROM s0) sy,
+        |       unnest(generate_series(1, len(sym) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |w1 AS (SELECT a, b, n FROM p1 ORDER BY n DESC, a, b LIMIT 1),
+        |s1 AS (SELECT replace(seq, ' '||w.a||'  '||w.b||' ',
+        |                      ' '||w.a||w.b||' ') AS seq, cnt FROM s0, w1 w),
+        |p2 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT string_split(trim(seq), '  ') AS sym, cnt FROM s1) sy,
+        |       unnest(generate_series(1, len(sym) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |w2 AS (SELECT a, b, n FROM p2 ORDER BY n DESC, a, b LIMIT 1),
+        |s2 AS (SELECT replace(seq, ' '||w.a||'  '||w.b||' ',
+        |                      ' '||w.a||w.b||' ') AS seq, cnt FROM s1, w2 w),
+        |p3 AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM (SELECT string_split(trim(seq), '  ') AS sym, cnt FROM s2) sy,
+        |       unnest(generate_series(1, len(sym) - 1)) AS u(i)
+        |  GROUP BY 1, 2),
+        |w3 AS (SELECT a, b, n FROM p3 ORDER BY n DESC, a, b LIMIT 1)
+        |SELECT CAST(1 AS BIGINT) AS round, a AS sym_a, b AS sym_b, n FROM w1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), a, b, n FROM w2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), a, b, n FROM w3
+        |ORDER BY round""".stripMargin,
 
     "llm_entity_cooccur" ->
       """WITH dt0 AS (SELECT DISTINCT doc_id,

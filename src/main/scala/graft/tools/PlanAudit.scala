@@ -81,8 +81,20 @@ object PlanAudit {
       // round-7 wave 7/8: lag-window price pairing, block-windowed R/S
       "agg_price_index", "agg_hurst_rs")
     for (name <- interesting) {
-      val plan = graft.SparkEntry.queries(name)(spark, dir)
-        .queryExecution.executedPlan.toString
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      // AQE materializes its final plan lazily DURING execution — the
+      // pre-execution AdaptiveSparkPlan string carries no `*(N)` codegen
+      // markers at all, so counting before running reported "0 spans"
+      // for 104/105 queries regardless of reality (r7 verdict item 3).
+      // Execute the EXACT physical plan (not a derived count() plan,
+      // which would build its own QueryExecution), then read the final
+      // adaptive plan and drop the trailing "== Initial Plan ==" echo so
+      // spans and join strategies reflect what actually ran.
+      try qe.executedPlan.execute().count() catch {
+        case e: Throwable =>
+          System.err.println(s"[planaudit] $name execution failed: ${e.getMessage}")
+      }
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
       val facts = plan.linesIterator.map(_.trim).flatMap { l =>
         val pf = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(l)
         val rs = "ReadSchema: [^,\\s]*".r.findFirstIn(l)

@@ -66,7 +66,12 @@ class DeterminismSpec extends AnyFunSuite {
       // median selection, DSIR top-25 weight cut, BH step-up on p
       "agg_theil_sen", "llm_dsir_weights", "agg_fdr_bh",
       // waves 7/8: quantized block-R/S pivot, lag-window index pairing
-      "agg_hurst_rs", "agg_price_index")) {
+      "agg_hurst_rs", "agg_price_index",
+      // round-8: the GK sketch merges partials in shuffle-fetch order —
+      // double-running at sf0.01 watches for merge-order sensitivity
+      // the sf0.001 run can't see; the iterated BPE replace chain and
+      // the bottom-k hash cut ride along
+      "agg_approx_quantiles", "llm_bpe_merges", "llm_sample_bottomk")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

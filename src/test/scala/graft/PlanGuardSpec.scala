@@ -110,7 +110,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_js_divergence", "llm_pmi_collocations",
     // llm_ann_ndcg: the recall10 shape — 256-row eval slice + 64-row
     // centroid table + 1-row (n, idcg) normalizer, all constant-bounded
-    "llm_ann_ndcg")
+    "llm_ann_ndcg",
+    // llm_bpe_merges: each round's 1-row winning-pair broadcast folded
+    // into the vocab-keyed symbol stream (as agg_rfm_segments)
+    "llm_bpe_merges")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

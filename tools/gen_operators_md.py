@@ -34,9 +34,10 @@ def main():
     names = sorted(set(oracle) | set(bench))
     out = ["# OPERATORS — declared query inventory (generated)", "",
            f"{len(names)} declared queries; {len(oracle)} with a DuckDB oracle",
-           "(`agg_approx_distinct` is rows-only by design: HLL estimates are",
-           "engine-specific). Timings: `Bench` at sf0.1, local[32], steady state;",
-           "-1.00 marks a failed query.",
+           "(`agg_approx_distinct` and `agg_approx_quantiles` are rows-only by",
+           "design: HLL/GK sketch estimates are engine-specific; unit tests bound",
+           "their error vs exact). Timings: `Bench` at sf0.1, local[32], steady",
+           "state, median of 3 runs; -1.00 marks a failed query.",
            "",
            "Regenerate: `python3 tools/gen_operators_md.py <verifyOut> <benchJson>`", "",
            "## Production-path pairings (brute-force oracle vs scale path)",
