@@ -191,9 +191,78 @@ object ScaleDryRun {
       graft.operators.Round6dQueries.paragraphDupStats(d).count()
     }
 
+    // ANN index build + cell assignment at k× the vector corpus (round
+    // 8): the AnnCodebook build is seeded-sample + 2 fixed Lloyd passes
+    // — every pass a broadcast-centroid map over the vectors — so wall
+    // time must track vector volume (the probe itself is 1/64 of a
+    // scan and rides the same index). Disjoint vec_ids per replica.
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    def annShape(k: Int): Long = {
+      val e0 = Seq.range(0, k).map(i => emb
+        .withColumn("vec_id", col("vec_id") * k + i))
+        .reduce(_ unionAll _)
+      val (qvDf, cent) = graft.functions.AnnCodebook.codebook(e0)
+      qvDf.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cell"),
+          graft.functions.AnnCodebook.score(col("qv"), col("csum")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max_by(col("cell"), struct(col("sc"), -col("cell"))).as("cell"))
+        .groupBy("cell").count().count()
+    }
+
+    // ---- skew stress (r7 verdict item 7) --------------------------------
+    // One hot supplier owns 50% of the k× fact rows. Measures the
+    // SHIPPED mitigation kernels against their unmitigated shapes:
+    // join_skew_salted's 8-salt build replication vs the plain
+    // equi-join (both forced to shuffle-hash — broadcast is the
+    // first-line fix and would mask the skew; salting is for build
+    // sides past the broadcast threshold), and agg_skew_salted's
+    // two-stage salted aggregate vs the direct group-by (expected
+    // near-tie: hash aggregation's map-side partials already absorb
+    // hot GROUP-BY keys; the ledger records it rather than assumes it).
+    val supplier = graft.sources.Tables.supplier(spark, dir)
+    def skewLi(k: Int): DataFrame =
+      Seq.range(0, k).map(i => li
+          .withColumn("l_orderkey", col("l_orderkey") * k + i))
+        .reduce(_ unionAll _)
+        .withColumn("l_suppkey",
+          when(pmod(col("l_orderkey"), lit(2)) === 0, lit(1))
+            .otherwise(col("l_suppkey")))
+    def skewJoinPlain(k: Int): Long = {
+      val l = skewLi(k)
+      l.join(supplier.hint("shuffle_hash"),
+          l("l_suppkey") === supplier("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType), count(lit(1))).count()
+    }
+    def skewJoinSalted(k: Int): Long = {
+      val sup = supplier.select(col("s_suppkey"), col("s_nationkey"))
+        .withColumn("salt", explode(array((0 until 8).map(lit): _*)))
+      val l = skewLi(k)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(8)).cast("int"))
+      l.join(sup.hint("shuffle_hash"),
+          l("l_suppkey") === sup("s_suppkey") && l("salt") === sup("salt"))
+        .groupBy("s_nationkey")
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast(DoubleType), count(lit(1))).count()
+    }
+    def skewAggPlain(k: Int): Long = skewLi(k)
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))), count(lit(1)))
+      .count()
+    def skewAggSalted(k: Int): Long = skewLi(k)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("l_suppkey"), col("salt"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("psum"),
+        count(lit(1)).as("pcnt"))
+      .groupBy("l_suppkey")
+      .agg(sum(col("psum")), sum(col("pcnt")))
+      .count()
+
     q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
     chunkShape(1); contamShape(1); asofShape(1); sessShape(1)
-    rankShape(1); paraShape(1) // JIT warm-up
+    rankShape(1); paraShape(1); annShape(1) // JIT warm-up
     for (k <- Seq(1, 2, 4, 8)) {
       val t1 = time(q1(k))
       val t2 = time(join3(k))
@@ -207,6 +276,24 @@ object ScaleDryRun {
       val t10 = time(rankShape(k))
       val t11 = time(paraShape(k))
       println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s  para=$t11%6.2f s")
+    }
+    // one more doubling decade on the four headline columns (r7 verdict
+    // item 8): the 128 GiB sandbox holds the 19.2M-row 32× fact replay
+    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+      val td = time(dedupShape(k))
+      val tr = time(rankShape(k))
+      val ta = time(annShape(k))
+      val tp = time(packShape(k))
+      println(f"[scale32] k=$k%2d  dedup=$td%6.2f s  rank=$tr%6.2f s  ann=$ta%6.2f s  pack=$tp%6.2f s")
+    }
+    // skew stress at 8×: salted kernels vs unmitigated shapes
+    skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
+    for (k <- Seq(8)) {
+      val jp = time(skewJoinPlain(k))
+      val js = time(skewJoinSalted(k))
+      val ap = time(skewAggPlain(k))
+      val as = time(skewAggSalted(k))
+      println(f"[skew] k=$k%2d  hot=50%%  join_plain=$jp%6.2f s  join_salted=$js%6.2f s  agg_plain=$ap%6.2f s  agg_salted=$as%6.2f s")
     }
     spark.stop()
   }
