@@ -79,7 +79,10 @@ object PlanAudit {
       "join_spatial_grid", "llm_dsir_weights", "agg_bootstrap_se",
       "graph_harmonic_centrality", "win_seasonal_decompose",
       // round-7 wave 7/8: lag-window price pairing, block-windowed R/S
-      "agg_price_index", "agg_hurst_rs")
+      "agg_price_index", "agg_hurst_rs",
+      // round-8: sketch-statistics family + iterated BPE
+      "agg_approx_quantiles", "agg_quantile_grid", "llm_sample_bottomk",
+      "llm_bpe_merges")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the
