@@ -82,7 +82,11 @@ object PlanAudit {
       "agg_price_index", "agg_hurst_rs",
       // round-8: sketch-statistics family + iterated BPE
       "agg_approx_quantiles", "agg_quantile_grid", "llm_sample_bottomk",
-      "llm_bpe_merges")
+      "llm_bpe_merges",
+      // round-8 wave 2: islands-based RAKE, wedge-keyed RA link
+      // prediction, EWMA-chain MACD, drift ledger
+      "llm_rake_keyphrases", "graph_resource_alloc", "win_macd",
+      "agg_page_hinkley")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the

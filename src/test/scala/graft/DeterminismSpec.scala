@@ -71,7 +71,10 @@ class DeterminismSpec extends AnyFunSuite {
       // double-running at sf0.01 watches for merge-order sensitivity
       // the sf0.001 run can't see; the iterated BPE replace chain and
       // the bottom-k hash cut ride along
-      "agg_approx_quantiles", "llm_bpe_merges", "llm_sample_bottomk")) {
+      "agg_approx_quantiles", "llm_bpe_merges", "llm_sample_bottomk",
+      // round-8 wave 2: rounded-pow EWMA chains, quantized-ln entropy
+      // sums, integer-unit rank cuts
+      "win_macd", "agg_theil_u", "llm_rake_keyphrases")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

@@ -113,7 +113,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_ann_ndcg",
     // llm_bpe_merges: each round's 1-row winning-pair broadcast folded
     // into the vocab-keyed symbol stream (as agg_rfm_segments)
-    "llm_bpe_merges")
+    "llm_bpe_merges",
+    // agg_theil_u: three 1-row entropy aggregates cross-joined with the
+    // 1-row corpus count (as agg_funnel)
+    "agg_theil_u")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
