@@ -46,7 +46,8 @@ object SparkEntry {
       Round7eQueries.queries ++ Round7fQueries.queries ++
       Round7gQueries.queries ++ Round7hQueries.queries ++
       Round7iQueries.queries ++ Round7jQueries.queries ++
-      Round8Queries.queries ++ Round8bQueries.queries
+      Round8Queries.queries ++ Round8bQueries.queries ++
+      Round8cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -78,5 +79,6 @@ object SparkEntry {
       Round7eQueries.oracles ++ Round7fQueries.oracles ++
       Round7gQueries.oracles ++ Round7hQueries.oracles ++
       Round7iQueries.oracles ++ Round7jQueries.oracles ++
-      Round8Queries.oracles ++ Round8bQueries.oracles
+      Round8Queries.oracles ++ Round8bQueries.oracles ++
+      Round8cQueries.oracles
 }

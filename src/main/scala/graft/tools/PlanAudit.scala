@@ -86,7 +86,9 @@ object PlanAudit {
       // round-8 wave 2: islands-based RAKE, wedge-keyed RA link
       // prediction, EWMA-chain MACD, drift ledger
       "llm_rake_keyphrases", "graph_resource_alloc", "win_macd",
-      "agg_page_hinkley")
+      "agg_page_hinkley",
+      // round-8 wave 3: distinct-value rank tests, regex readability
+      "agg_kruskal_wallis", "agg_levene_bf", "llm_readability_fk")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the

@@ -74,7 +74,10 @@ class DeterminismSpec extends AnyFunSuite {
       "agg_approx_quantiles", "llm_bpe_merges", "llm_sample_bottomk",
       // round-8 wave 2: rounded-pow EWMA chains, quantized-ln entropy
       // sums, integer-unit rank cuts
-      "win_macd", "agg_theil_u", "llm_rake_keyphrases")) {
+      "win_macd", "agg_theil_u", "llm_rake_keyphrases",
+      // round-8 wave 3: GlobalRank-rider rank tests with quantized
+      // k-row term sums
+      "agg_kruskal_wallis", "agg_levene_bf", "agg_friedman")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

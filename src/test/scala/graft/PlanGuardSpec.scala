@@ -116,7 +116,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_bpe_merges",
     // agg_theil_u: three 1-row entropy aggregates cross-joined with the
     // 1-row corpus count (as agg_funnel)
-    "agg_theil_u")
+    "agg_theil_u",
+    // agg_kruskal_wallis: the 1-row tie-correction scalar crossed into
+    // the 1-row moment table; agg_friedman: the 1-row distinct-type
+    // count crossed into the 155-row calendar table (both as tpch_q22)
+    "agg_kruskal_wallis", "agg_friedman")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
