@@ -88,7 +88,9 @@ object PlanAudit {
       "llm_rake_keyphrases", "graph_resource_alloc", "win_macd",
       "agg_page_hinkley",
       // round-8 wave 3: distinct-value rank tests, regex readability
-      "agg_kruskal_wallis", "agg_levene_bf", "llm_readability_fk")
+      "agg_kruskal_wallis", "agg_levene_bf", "llm_readability_fk",
+      // round-8 wave 4: one-row lag-term Ljung-Box, bridge anti-join
+      "agg_ljung_box", "graph_local_bridges")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the

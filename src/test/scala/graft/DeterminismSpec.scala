@@ -77,7 +77,9 @@ class DeterminismSpec extends AnyFunSuite {
       "win_macd", "agg_theil_u", "llm_rake_keyphrases",
       // round-8 wave 3: GlobalRank-rider rank tests with quantized
       // k-row term sums
-      "agg_kruskal_wallis", "agg_levene_bf", "agg_friedman")) {
+      "agg_kruskal_wallis", "agg_levene_bf", "agg_friedman",
+      // round-8 wave 4: quantized ln²/dd² sums, decimal covariances
+      "win_parkinson_vol", "agg_ljung_box", "win_ulcer_index")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {
