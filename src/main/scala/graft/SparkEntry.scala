@@ -47,7 +47,8 @@ object SparkEntry {
       Round7gQueries.queries ++ Round7hQueries.queries ++
       Round7iQueries.queries ++ Round7jQueries.queries ++
       Round8Queries.queries ++ Round8bQueries.queries ++
-      Round8cQueries.queries ++ Round8dQueries.queries
+      Round8cQueries.queries ++ Round8dQueries.queries ++
+      Round8eQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -80,5 +81,6 @@ object SparkEntry {
       Round7gQueries.oracles ++ Round7hQueries.oracles ++
       Round7iQueries.oracles ++ Round7jQueries.oracles ++
       Round8Queries.oracles ++ Round8bQueries.oracles ++
-      Round8cQueries.oracles ++ Round8dQueries.oracles
+      Round8cQueries.oracles ++ Round8dQueries.oracles ++
+      Round8eQueries.oracles
 }

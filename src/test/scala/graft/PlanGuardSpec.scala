@@ -120,7 +120,12 @@ class PlanGuardSpec extends AnyFunSuite {
     // agg_kruskal_wallis: the 1-row tie-correction scalar crossed into
     // the 1-row moment table; agg_friedman: the 1-row distinct-type
     // count crossed into the 155-row calendar table (both as tpch_q22)
-    "agg_kruskal_wallis", "agg_friedman")
+    "agg_kruskal_wallis", "agg_friedman",
+    // agg_mood_median: the 1-row global-median scalar broadcast into the
+    // event stream and the 1-row totals into the k-row contingency (as
+    // agg_kruskal_wallis); agg_hoover_index: the 1-row (n, S) totals
+    // broadcast into the per-customer revenue rows (as agg_rfm_segments)
+    "agg_mood_median", "agg_hoover_index")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
