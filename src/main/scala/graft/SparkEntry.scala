@@ -48,7 +48,8 @@ object SparkEntry {
       Round7iQueries.queries ++ Round7jQueries.queries ++
       Round8Queries.queries ++ Round8bQueries.queries ++
       Round8cQueries.queries ++ Round8dQueries.queries ++
-      Round8eQueries.queries ++ Round8fQueries.queries
+      Round8eQueries.queries ++ Round8fQueries.queries ++
+      Round8gQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +83,6 @@ object SparkEntry {
       Round7iQueries.oracles ++ Round7jQueries.oracles ++
       Round8Queries.oracles ++ Round8bQueries.oracles ++
       Round8cQueries.oracles ++ Round8dQueries.oracles ++
-      Round8eQueries.oracles ++ Round8fQueries.oracles
+      Round8eQueries.oracles ++ Round8fQueries.oracles ++
+      Round8gQueries.oracles
 }

@@ -125,7 +125,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // event stream and the 1-row totals into the k-row contingency (as
     // agg_kruskal_wallis); agg_hoover_index: the 1-row (n, S) totals
     // broadcast into the per-customer revenue rows (as agg_rfm_segments)
-    "agg_mood_median", "agg_hoover_index")
+    "agg_mood_median", "agg_hoover_index",
+    // graph_path_length_dist: the 1-row (n_pairs, total distance) scalar
+    // broadcast into the 4-row distance histogram (as agg_funnel)
+    "graph_path_length_dist")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

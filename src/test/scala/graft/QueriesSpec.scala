@@ -60,7 +60,8 @@ class QueriesSpec extends AnyFunSuite {
       Round7iQueries.queries, Round7jQueries.queries,
       Round8Queries.queries, Round8bQueries.queries,
       Round8cQueries.queries, Round8dQueries.queries,
-      Round8eQueries.queries, Round8fQueries.queries)
+      Round8eQueries.queries, Round8fQueries.queries,
+      Round8gQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
