@@ -49,7 +49,8 @@ object SparkEntry {
       Round8Queries.queries ++ Round8bQueries.queries ++
       Round8cQueries.queries ++ Round8dQueries.queries ++
       Round8eQueries.queries ++ Round8fQueries.queries ++
-      Round8gQueries.queries ++ Round8hQueries.queries
+      Round8gQueries.queries ++ Round8hQueries.queries ++
+      Round8iQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -84,5 +85,6 @@ object SparkEntry {
       Round8Queries.oracles ++ Round8bQueries.oracles ++
       Round8cQueries.oracles ++ Round8dQueries.oracles ++
       Round8eQueries.oracles ++ Round8fQueries.oracles ++
-      Round8gQueries.oracles ++ Round8hQueries.oracles
+      Round8gQueries.oracles ++ Round8hQueries.oracles ++
+      Round8iQueries.oracles
 }
