@@ -50,7 +50,8 @@ object SparkEntry {
       Round8cQueries.queries ++ Round8dQueries.queries ++
       Round8eQueries.queries ++ Round8fQueries.queries ++
       Round8gQueries.queries ++ Round8hQueries.queries ++
-      Round8iQueries.queries ++ Round8jQueries.queries
+      Round8iQueries.queries ++ Round8jQueries.queries ++
+      Round8kQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -86,5 +87,6 @@ object SparkEntry {
       Round8cQueries.oracles ++ Round8dQueries.oracles ++
       Round8eQueries.oracles ++ Round8fQueries.oracles ++
       Round8gQueries.oracles ++ Round8hQueries.oracles ++
-      Round8iQueries.oracles ++ Round8jQueries.oracles
+      Round8iQueries.oracles ++ Round8jQueries.oracles ++
+      Round8kQueries.oracles
 }
