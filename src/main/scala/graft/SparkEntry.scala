@@ -51,7 +51,8 @@ object SparkEntry {
       Round8eQueries.queries ++ Round8fQueries.queries ++
       Round8gQueries.queries ++ Round8hQueries.queries ++
       Round8iQueries.queries ++ Round8jQueries.queries ++
-      Round8kQueries.queries ++ Round8lQueries.queries
+      Round8kQueries.queries ++ Round8lQueries.queries ++
+      Round8mQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -88,5 +89,6 @@ object SparkEntry {
       Round8eQueries.oracles ++ Round8fQueries.oracles ++
       Round8gQueries.oracles ++ Round8hQueries.oracles ++
       Round8iQueries.oracles ++ Round8jQueries.oracles ++
-      Round8kQueries.oracles ++ Round8lQueries.oracles
+      Round8kQueries.oracles ++ Round8lQueries.oracles ++
+      Round8mQueries.oracles
 }

@@ -63,7 +63,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8eQueries.queries, Round8fQueries.queries,
       Round8gQueries.queries, Round8hQueries.queries,
       Round8iQueries.queries, Round8jQueries.queries,
-      Round8kQueries.queries, Round8lQueries.queries)
+      Round8kQueries.queries, Round8lQueries.queries,
+      Round8mQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
