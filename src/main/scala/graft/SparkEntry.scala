@@ -52,7 +52,8 @@ object SparkEntry {
       Round8gQueries.queries ++ Round8hQueries.queries ++
       Round8iQueries.queries ++ Round8jQueries.queries ++
       Round8kQueries.queries ++ Round8lQueries.queries ++
-      Round8mQueries.queries ++ Round8nQueries.queries
+      Round8mQueries.queries ++ Round8nQueries.queries ++
+      Round8oQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -90,5 +91,6 @@ object SparkEntry {
       Round8gQueries.oracles ++ Round8hQueries.oracles ++
       Round8iQueries.oracles ++ Round8jQueries.oracles ++
       Round8kQueries.oracles ++ Round8lQueries.oracles ++
-      Round8mQueries.oracles ++ Round8nQueries.oracles
+      Round8mQueries.oracles ++ Round8nQueries.oracles ++
+      Round8oQueries.oracles
 }

@@ -64,7 +64,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8gQueries.queries, Round8hQueries.queries,
       Round8iQueries.queries, Round8jQueries.queries,
       Round8kQueries.queries, Round8lQueries.queries,
-      Round8mQueries.queries, Round8nQueries.queries)
+      Round8mQueries.queries, Round8nQueries.queries,
+      Round8oQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
