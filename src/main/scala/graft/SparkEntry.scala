@@ -53,7 +53,8 @@ object SparkEntry {
       Round8iQueries.queries ++ Round8jQueries.queries ++
       Round8kQueries.queries ++ Round8lQueries.queries ++
       Round8mQueries.queries ++ Round8nQueries.queries ++
-      Round8oQueries.queries ++ Round8pQueries.queries
+      Round8oQueries.queries ++ Round8pQueries.queries ++
+      Round8qQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -92,5 +93,6 @@ object SparkEntry {
       Round8iQueries.oracles ++ Round8jQueries.oracles ++
       Round8kQueries.oracles ++ Round8lQueries.oracles ++
       Round8mQueries.oracles ++ Round8nQueries.oracles ++
-      Round8oQueries.oracles ++ Round8pQueries.oracles
+      Round8oQueries.oracles ++ Round8pQueries.oracles ++
+      Round8qQueries.oracles
 }

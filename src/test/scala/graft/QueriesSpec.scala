@@ -65,7 +65,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8iQueries.queries, Round8jQueries.queries,
       Round8kQueries.queries, Round8lQueries.queries,
       Round8mQueries.queries, Round8nQueries.queries,
-      Round8oQueries.queries, Round8pQueries.queries)
+      Round8oQueries.queries, Round8pQueries.queries,
+      Round8qQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
