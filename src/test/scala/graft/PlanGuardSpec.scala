@@ -128,7 +128,25 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_mood_median", "agg_hoover_index",
     // graph_path_length_dist: the 1-row (n_pairs, total distance) scalar
     // broadcast into the 4-row distance histogram (as agg_funnel)
-    "graph_path_length_dist")
+    "graph_path_length_dist",
+    // agg_fleiss_kappa: the 1-row Σc² category-marginal scalar crossed
+    // with the 1-row subject-moment table (as agg_kruskal_wallis)
+    "agg_fleiss_kappa",
+    // llm_ann_mrr / llm_ann_map: the llm_ann_ndcg shape — 256-row eval
+    // slice + 64-row centroid table + 1-row sample-count normalizer,
+    // all constant-bounded
+    "llm_ann_mrr", "llm_ann_map",
+    // agg_tvd_lang / agg_hellinger_lang: the 5-row language-marginal
+    // table crossed with the 15-row source aggregate (a 75-cell
+    // catalog-bounded grid) plus the 1-row corpus total (as llm_bm25)
+    "agg_tvd_lang", "agg_hellinger_lang",
+    // agg_canberra_daily: the ≤31-row calendar-day marginal crossed
+    // with the 5-row type aggregate plus the 1-row total — calendar-
+    // bounded grid (as gen_sequence_dates)
+    "agg_canberra_daily",
+    // agg_page_trend: the 1-row distinct-type count crossed into the
+    // day-block aggregate (as agg_friedman)
+    "agg_page_trend")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
@@ -164,7 +182,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_dsir_weights" ->
       "normalizing totals over the 128-row hashed-feature bucket table",
     "agg_fdr_bh" ->
-      "BH rank/step-up windows over the 35-row hypothesis table")
+      "BH rank/step-up windows over the 35-row hypothesis table",
+    "agg_holm_bonferroni" ->
+      "Holm rank/step-down windows over the same 35-row hypothesis table",
+    "agg_page_trend" ->
+      "alphabetical treatment index over the 5-row distinct-type table")
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -66,7 +66,7 @@ class QueriesSpec extends AnyFunSuite {
       Round8kQueries.queries, Round8lQueries.queries,
       Round8mQueries.queries, Round8nQueries.queries,
       Round8oQueries.queries, Round8pQueries.queries,
-      Round8qQueries.queries)
+      Round8qQueries.queries, Round8rQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
