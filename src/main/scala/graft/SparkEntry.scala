@@ -54,7 +54,8 @@ object SparkEntry {
       Round8kQueries.queries ++ Round8lQueries.queries ++
       Round8mQueries.queries ++ Round8nQueries.queries ++
       Round8oQueries.queries ++ Round8pQueries.queries ++
-      Round8qQueries.queries ++ Round8rQueries.queries
+      Round8qQueries.queries ++ Round8rQueries.queries ++
+      Round8sQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +95,6 @@ object SparkEntry {
       Round8kQueries.oracles ++ Round8lQueries.oracles ++
       Round8mQueries.oracles ++ Round8nQueries.oracles ++
       Round8oQueries.oracles ++ Round8pQueries.oracles ++
-      Round8qQueries.oracles ++ Round8rQueries.oracles
+      Round8qQueries.oracles ++ Round8rQueries.oracles ++
+      Round8sQueries.oracles
 }

@@ -66,7 +66,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8kQueries.queries, Round8lQueries.queries,
       Round8mQueries.queries, Round8nQueries.queries,
       Round8oQueries.queries, Round8pQueries.queries,
-      Round8qQueries.queries, Round8rQueries.queries)
+      Round8qQueries.queries, Round8rQueries.queries,
+      Round8sQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
