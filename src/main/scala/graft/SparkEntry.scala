@@ -55,7 +55,7 @@ object SparkEntry {
       Round8mQueries.queries ++ Round8nQueries.queries ++
       Round8oQueries.queries ++ Round8pQueries.queries ++
       Round8qQueries.queries ++ Round8rQueries.queries ++
-      Round8sQueries.queries
+      Round8sQueries.queries ++ Round8tQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,5 +96,5 @@ object SparkEntry {
       Round8mQueries.oracles ++ Round8nQueries.oracles ++
       Round8oQueries.oracles ++ Round8pQueries.oracles ++
       Round8qQueries.oracles ++ Round8rQueries.oracles ++
-      Round8sQueries.oracles
+      Round8sQueries.oracles ++ Round8tQueries.oracles
 }

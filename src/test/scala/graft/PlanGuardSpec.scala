@@ -146,7 +146,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_canberra_daily",
     // agg_page_trend: the 1-row distinct-type count crossed into the
     // day-block aggregate (as agg_friedman)
-    "agg_page_trend")
+    "agg_page_trend",
+    // agg_backlog_aging: the 1-row corpus-max-date horizon broadcast
+    // into the open-order rows (as agg_rfm_segments)
+    "agg_backlog_aging")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
