@@ -55,7 +55,8 @@ object SparkEntry {
       Round8mQueries.queries ++ Round8nQueries.queries ++
       Round8oQueries.queries ++ Round8pQueries.queries ++
       Round8qQueries.queries ++ Round8rQueries.queries ++
-      Round8sQueries.queries ++ Round8tQueries.queries
+      Round8sQueries.queries ++ Round8tQueries.queries ++
+      Round8uQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,5 +97,6 @@ object SparkEntry {
       Round8mQueries.oracles ++ Round8nQueries.oracles ++
       Round8oQueries.oracles ++ Round8pQueries.oracles ++
       Round8qQueries.oracles ++ Round8rQueries.oracles ++
-      Round8sQueries.oracles ++ Round8tQueries.oracles
+      Round8sQueries.oracles ++ Round8tQueries.oracles ++
+      Round8uQueries.oracles
 }

@@ -149,7 +149,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_page_trend",
     // agg_backlog_aging: the 1-row corpus-max-date horizon broadcast
     // into the open-order rows (as agg_rfm_segments)
-    "agg_backlog_aging")
+    "agg_backlog_aging",
+    // llm_cosine_hist / llm_label_separation: the 256-row hash sample
+    // crossed with itself (32,640 constant pairs) + a 1-row total;
+    // llm_knn_label_acc: the 256-row eval slice broadcast against the
+    // corpus for the exact 1-NN (all as llm_ann_recall10)
+    "llm_cosine_hist", "llm_label_separation", "llm_knn_label_acc")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

@@ -67,7 +67,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8mQueries.queries, Round8nQueries.queries,
       Round8oQueries.queries, Round8pQueries.queries,
       Round8qQueries.queries, Round8rQueries.queries,
-      Round8sQueries.queries, Round8tQueries.queries)
+      Round8sQueries.queries, Round8tQueries.queries,
+      Round8uQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
