@@ -56,7 +56,8 @@ object SparkEntry {
       Round8oQueries.queries ++ Round8pQueries.queries ++
       Round8qQueries.queries ++ Round8rQueries.queries ++
       Round8sQueries.queries ++ Round8tQueries.queries ++
-      Round8uQueries.queries ++ Round8vQueries.queries
+      Round8uQueries.queries ++ Round8vQueries.queries ++
+      Round8wQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +99,6 @@ object SparkEntry {
       Round8oQueries.oracles ++ Round8pQueries.oracles ++
       Round8qQueries.oracles ++ Round8rQueries.oracles ++
       Round8sQueries.oracles ++ Round8tQueries.oracles ++
-      Round8uQueries.oracles ++ Round8vQueries.oracles
+      Round8uQueries.oracles ++ Round8vQueries.oracles ++
+      Round8wQueries.oracles
 }
