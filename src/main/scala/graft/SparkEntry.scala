@@ -57,7 +57,8 @@ object SparkEntry {
       Round8qQueries.queries ++ Round8rQueries.queries ++
       Round8sQueries.queries ++ Round8tQueries.queries ++
       Round8uQueries.queries ++ Round8vQueries.queries ++
-      Round8wQueries.queries ++ Round8xQueries.queries
+      Round8wQueries.queries ++ Round8xQueries.queries ++
+      Round8yQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -100,5 +101,6 @@ object SparkEntry {
       Round8qQueries.oracles ++ Round8rQueries.oracles ++
       Round8sQueries.oracles ++ Round8tQueries.oracles ++
       Round8uQueries.oracles ++ Round8vQueries.oracles ++
-      Round8wQueries.oracles ++ Round8xQueries.oracles
+      Round8wQueries.oracles ++ Round8xQueries.oracles ++
+      Round8yQueries.oracles
 }

@@ -69,7 +69,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8qQueries.queries, Round8rQueries.queries,
       Round8sQueries.queries, Round8tQueries.queries,
       Round8uQueries.queries, Round8vQueries.queries,
-      Round8wQueries.queries, Round8xQueries.queries)
+      Round8wQueries.queries, Round8xQueries.queries,
+      Round8yQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
