@@ -58,7 +58,7 @@ object SparkEntry {
       Round8sQueries.queries ++ Round8tQueries.queries ++
       Round8uQueries.queries ++ Round8vQueries.queries ++
       Round8wQueries.queries ++ Round8xQueries.queries ++
-      Round8yQueries.queries
+      Round8yQueries.queries ++ Round8zQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -102,5 +102,5 @@ object SparkEntry {
       Round8sQueries.oracles ++ Round8tQueries.oracles ++
       Round8uQueries.oracles ++ Round8vQueries.oracles ++
       Round8wQueries.oracles ++ Round8xQueries.oracles ++
-      Round8yQueries.oracles
+      Round8yQueries.oracles ++ Round8zQueries.oracles
 }
