@@ -154,7 +154,16 @@ class PlanGuardSpec extends AnyFunSuite {
     // crossed with itself (32,640 constant pairs) + a 1-row total;
     // llm_knn_label_acc: the 256-row eval slice broadcast against the
     // corpus for the exact 1-NN (all as llm_ann_recall10)
-    "llm_cosine_hist", "llm_label_separation", "llm_knn_label_acc")
+    "llm_cosine_hist", "llm_label_separation", "llm_knn_label_acc",
+    // agg_entry_exit / agg_session_dist / agg_benford_second /
+    // agg_price_endings: a 1-row total scalar crossed into a
+    // catalog-bounded aggregate (as llm_bm25)
+    "agg_entry_exit", "agg_session_dist", "agg_benford_second",
+    "agg_price_endings",
+    // agg_mom_contribution: the ≤25-row nation list crossed with the
+    // calendar-bounded month list to complete the grid (as
+    // gen_sequence_dates)
+    "agg_mom_contribution")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
