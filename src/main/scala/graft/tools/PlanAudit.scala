@@ -90,7 +90,18 @@ object PlanAudit {
       // round-8 wave 3: distinct-value rank tests, regex readability
       "agg_kruskal_wallis", "agg_levene_bf", "llm_readability_fk",
       // round-8 wave 4: one-row lag-term Ljung-Box, bridge anti-join
-      "agg_ljung_box", "graph_local_bridges")
+      "agg_ljung_box", "graph_local_bridges",
+      // round-8 continuation waves: withRunningSums CDF integral +
+      // rank+1 step join, PPS boundary sampling, descending ABC prefix,
+      // GlobalRank midrank blocks, pivoted-band cumulative J, bar-window
+      // indicators, wedge-close participation, probe MRR, segment
+      // distinct TTR, island session rollup, order-keyed co-supplier
+      // self-join, nested-JSON roundtrip, grid lag contribution
+      "agg_emd_wasserstein", "llm_weighted_sample", "agg_abc_class",
+      "agg_ansari_bradley", "agg_jonckheere", "win_adx", "win_mfi",
+      "graph_triangle_participation", "llm_ann_mrr", "llm_msttr",
+      "agg_session_dist", "join_cosupplier_pairs", "source_json_nested",
+      "agg_mom_contribution")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the
