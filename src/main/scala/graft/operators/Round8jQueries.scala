@@ -51,6 +51,40 @@ object Round8jQueries {
       |        FROM documents GROUP BY 1, 2) c
       |    ON s.source = c.source AND l.lang = c.lang)""".stripMargin
 
+  /** The Wasserstein-1 pipeline over an arbitrary (event_type, v,
+    * treat) frame — the declared query runs it on the fixture events;
+    * ScaleDryRun replays the SAME pipeline at k× volume (the
+    * llm_dedup_paragraph refactor pattern). */
+  private[graft] def w1Pipeline(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val g = ev.groupBy("event_type", "v")
+      .agg(count_if(col("treat")).as("ct"), count_if(!col("treat")).as("cc"))
+    val r = graft.tools.Materialize.eager("emd.cum",
+      GlobalRank.withRunningSums(g,
+        Seq((col("ct"), "rt", "nt"), (col("cc"), "rc", "nc"),
+          (lit(1L), "idx", "nv")),
+        Seq("event_type"), Seq(col("v").asc),
+        groupsHint = 16)) // 5 event types in the schema
+    val steps = r.select(col("event_type"), col("idx"), col("v"),
+        col("rt"), col("rc"), col("nt"), col("nc"))
+      .join(r.select(col("event_type").as("et2"),
+          (col("idx") - 1).as("idx2"), col("v").as("v2")),
+        col("event_type") === col("et2") && col("idx") === col("idx2"))
+      .select(col("event_type"), col("nt"), col("nc"),
+        (abs(col("rt") * col("nc") - col("rc") * col("nt"))
+          .cast(DecimalType(38, 0)) *
+          ((col("v2") - col("v")) * 1000000)
+            .cast(DecimalType(18, 0)).cast(DecimalType(38, 0)))
+          .as("term"))
+    steps.groupBy("event_type")
+      .agg(max("nt").as("n_treat"), max("nc").as("n_ctrl"),
+        sum("term").as("num"))
+      .select(col("event_type"), col("n_treat"), col("n_ctrl"),
+        round(d(col("num")) / (d(col("n_treat")) * d(col("n_ctrl"))
+          * lit(1e6)), 6).as("w1"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, QFn] = Map(
 
     // ---- Wasserstein-1 (earth mover's) distance ---------------------------
@@ -62,38 +96,10 @@ object Round8jQueries {
     // equi-join (never a lead() over a global order); each step
     // contributes |cumT·nC − cumC·nT| · Δv_micro as an exact integer
     // into a decimal(38) sum, one division at the end.
-    "agg_emd_wasserstein" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).select(col("event_type"),
+    "agg_emd_wasserstein" -> ((s, dir) =>
+      w1Pipeline(Tables.events(s, dir).select(col("event_type"),
         col("value").cast(DecimalType(18, 6)).as("v"),
-        (col("user_id") % 2 === 0).as("treat"))
-      val g = ev.groupBy("event_type", "v")
-        .agg(count_if(col("treat")).as("ct"), count_if(!col("treat")).as("cc"))
-      val r = graft.tools.Materialize.eager("emd.cum",
-        GlobalRank.withRunningSums(g,
-          Seq((col("ct"), "rt", "nt"), (col("cc"), "rc", "nc"),
-            (lit(1L), "idx", "nv")),
-          Seq("event_type"), Seq(col("v").asc),
-          groupsHint = 16)) // 5 event types in the schema
-      val steps = r.select(col("event_type"), col("idx"), col("v"),
-          col("rt"), col("rc"), col("nt"), col("nc"))
-        .join(r.select(col("event_type").as("et2"),
-            (col("idx") - 1).as("idx2"), col("v").as("v2")),
-          col("event_type") === col("et2") && col("idx") === col("idx2"))
-        .select(col("event_type"), col("nt"), col("nc"),
-          (abs(col("rt") * col("nc") - col("rc") * col("nt"))
-            .cast(DecimalType(38, 0)) *
-            ((col("v2") - col("v")) * 1000000)
-              .cast(DecimalType(18, 0)).cast(DecimalType(38, 0)))
-            .as("term"))
-      steps.groupBy("event_type")
-        .agg(max("nt").as("n_treat"), max("nc").as("n_ctrl"),
-          sum("term").as("num"))
-        .select(col("event_type"), col("n_treat"), col("n_ctrl"),
-          round(d(col("num")) / (d(col("n_treat")) * d(col("n_ctrl"))
-            * lit(1e6)), 6).as("w1"))
-        .orderBy("event_type")
-    }),
-
+        (col("user_id") % 2 === 0).as("treat")))),
     // ---- total-variation distance -----------------------------------------
     // TVD between each source's language profile and the corpus
     // marginal = ½ Σ_lang |p − q| — the "how skewed is this crawl

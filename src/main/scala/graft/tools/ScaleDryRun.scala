@@ -178,6 +178,22 @@ object ScaleDryRun {
         .agg(count(lit(1))).count()
     }
 
+    // Wasserstein-1 CDF shape at k× (round-8 continuation): replicas
+    // perturb each value by a tiny per-replica offset, so the distinct
+    // support (which the runningSums stage and the rank+1 step join
+    // both scale with) grows k-LINEARLY — a plain self-union would
+    // only deepen per-value counts and measure the data, not the plan
+    def w1Shape(k: Int): Long = {
+      val e = Seq.range(0, k).map(i => events
+        .withColumn("event_id", col("event_id") * k + i)
+        .withColumn("value", col("value") + lit(i * 1e-4)))
+        .reduce(_ unionAll _)
+      graft.operators.Round8jQueries.w1Pipeline(
+        e.select(col("event_type"),
+          col("value").cast(DecimalType(18, 6)).as("v"),
+          (col("user_id") % 2 === 0).as("treat"))).count()
+    }
+
     // paragraph dedup at k× the corpus (round 6): a leading replica
     // marker token shifts every chunk boundary, so replica chunks stay
     // DISTINCT and the chunk-hash rollup grows linearly — a plain
@@ -285,6 +301,13 @@ object ScaleDryRun {
       val ta = time(annShape(k))
       val tp = time(packShape(k))
       println(f"[scale32] k=$k%2d  dedup=$td%6.2f s  rank=$tr%6.2f s  ann=$ta%6.2f s  pack=$tp%6.2f s")
+    }
+    // Wasserstein-1 runningSums + step-join shape, 1×..8× (the newest
+    // GlobalRank consumer; distinct support grows k-linearly)
+    w1Shape(1) // warm
+    for (k <- Seq(1, 2, 4, 8)) {
+      val tw = time(w1Shape(k))
+      println(f"[w1] k=$k%2d  wasserstein=$tw%6.2f s")
     }
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
