@@ -79,7 +79,16 @@ class DeterminismSpec extends AnyFunSuite {
       // k-row term sums
       "agg_kruskal_wallis", "agg_levene_bf", "agg_friedman",
       // round-8 wave 4: quantized ln²/dd² sums, decimal covariances
-      "win_parkinson_vol", "agg_ljung_box", "win_ulcer_index")) {
+      "win_parkinson_vol", "agg_ljung_box", "win_ulcer_index",
+      // round-8 continuation: the new GlobalRank riders (runsum CDFs,
+      // midrank blocks, PPS boundary cuts, descending ABC prefix) must
+      // double-run at the SF where range boundaries actually sample;
+      // the big-decimal→double casts (moments, Bartlett ln terms) and
+      // the probe-rank metrics ride along
+      "agg_emd_wasserstein", "llm_weighted_sample", "agg_abc_class",
+      "agg_ansari_bradley", "agg_skew_kurtosis", "agg_bartlett",
+      "llm_ann_mrr", "llm_ann_map", "agg_variance_ratio",
+      "llm_dale_chall")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {
