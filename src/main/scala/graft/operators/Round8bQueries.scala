@@ -21,8 +21,10 @@ import graft.sources.Tables
   * (`(2·scale·num + den) div (2·den)`, positive operands, identical
   * `div`/`//` truncation both engines); closed forms are single
   * fixed-order double expressions rounded at 6dp; EWMA-style decay
-  * rides pow of EXACT-BINARY bases (1.25, 1.125, 1.5 — the
-  * win_ewma_daily precedent) so cross-engine pow agrees.
+  * rides EXACT INTEGER weight tables (p^r·q^(L−r) over a truncated
+  * lookback) — the r8 driver run proved that even exact-binary-base
+  * `pow` on doubles drifts by 1 ulp across libm builds past day 22,
+  * so win_macd now has no float link at all (see its comment).
   */
 object Round8bQueries {
 
@@ -40,6 +42,31 @@ object Round8bQueries {
       |    CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) * 100
       |      AS DECIMAL(18,0)) AS BIGINT) AS xc
       |  FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** win_macd truncated-EWMA lookback: weights cover offsets 0..L. */
+  private val macdL = 25
+
+  /** Exact integer decay weights for win_macd, one row per lookback
+    * offset r: (fast, slow, signal) = (3^r·4^(L−r), 7^r·8^(L−r),
+    * 2^r·3^(L−r)) — the integer images of decay ratios 3/4, 7/8, 2/3
+    * with the common denominator cleared at the window edge. Max entry
+    * 8^25 ≈ 3.8e22; a centi-spend-weighted 26-term sum is then
+    * ≤ 26·xc·3.8e22, inside DECIMAL(38,0)/HUGEINT up to xc ≈ 1e14
+    * centi-units/day (≈ sf100000) — no overflow at any plausible SF. */
+  private val macdWeights: Seq[(Long, BigInt, BigInt, BigInt)] =
+    (0 to macdL).map { r =>
+      (r.toLong,
+        BigInt(3).pow(r) * BigInt(4).pow(macdL - r),
+        BigInt(7).pow(r) * BigInt(8).pow(macdL - r),
+        BigInt(2).pow(r) * BigInt(3).pow(macdL - r))
+    }
+
+  /** The win_macd weight table as DuckDB VALUES rows (HUGEINT). */
+  private val macdPwValues: String = macdWeights.map {
+    case (r, wf, ws, wg) =>
+      s"($r, CAST('$wf' AS HUGEINT), CAST('$ws' AS HUGEINT), " +
+        s"CAST('$wg' AS HUGEINT))"
+  }.mkString(",\n      |    ")
 
   /** The two deterministic binary document raters shared with
     * agg_cohens_kappa, plus a third (contains a digit) for Cochran. */
@@ -193,39 +220,60 @@ object Round8bQueries {
     }),
 
     // ---- MACD over daily spend ------------------------------------------
-    // Fast (β = 0.8) and slow (β = 8/9) EWMAs of the daily decimal
-    // spend in closed form (running sums of 6/8dp-rounded pow terms —
-    // the win_ewma_daily shape), macd = fast − slow; signal = the
-    // β = 2/3 EWMA of the ROUNDED macd series; histogram from the two
-    // emitted values. Decay bases 1.25 / 1.125 / 1.5 are EXACT binary
-    // doubles, so pow agrees across engines.
+    // Classic truncated-window MACD over the EXACT centi-unit daily
+    // spend series: fast/slow EWMAs with decay ratios 3/4 and 7/8 over
+    // a 26-day lookback, signal = the decay-2/3 EWMA of the macd
+    // series, hist = macd − signal. ZERO float links (the r8 driver
+    // run proved the old rounded-raw-IEEE-quotient chain was
+    // environment-sensitive — libm pow drifts 1 ulp past day 22): the
+    // decay weights are an exact 26-row integer table (macdWeights,
+    // DECIMAL(38,0), broadcast), each weighted window sum is an exact
+    // decimal integer accumulated via an explode-to-future-day
+    // contribution join on the CALENDAR-BOUNDED daily aggregate
+    // (≤ types×31 rows at any SF), and each EWMA is emitted as a
+    // signed half-up centi integer — sign(n)·((2·|n|+d) div (2·d)),
+    // positive div operands on both engines. The only doubles are the
+    // final exact /100.0 display divisions.
     "win_macd" -> ((s, dir) => {
-      val daily = Tables.events(s, dir)
-        .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
-        .agg(sum(col("value").cast(DecimalType(18, 6))).as("x"))
-      val w = Window.partitionBy("event_type").orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      def wterm(src: Column, base: Double, scale: Int): Column =
-        round(src * pow(lit(base), d(col("day"))), scale)
-          .cast(DecimalType(28, scale))
-      val macd = daily
-        .withColumn("uf", wterm(d(col("x")), 1.25, 6))
-        .withColumn("vf", round(pow(lit(1.25), d(col("day"))), 8)
-          .cast(DecimalType(18, 8)))
-        .withColumn("us", wterm(d(col("x")), 1.125, 6))
-        .withColumn("vs", round(pow(lit(1.125), d(col("day"))), 8)
-          .cast(DecimalType(18, 8)))
-        .withColumn("macd", round(
-          d(sum("uf").over(w)) / d(sum("vf").over(w))
-            - d(sum("us").over(w)) / d(sum("vs").over(w)), 6))
-      macd
-        .withColumn("ug", wterm(col("macd"), 1.5, 6))
-        .withColumn("vg", round(pow(lit(1.5), d(col("day"))), 8)
-          .cast(DecimalType(18, 8)))
-        .withColumn("signal",
-          round(d(sum("ug").over(w)) / d(sum("vg").over(w)), 6))
-        .select(col("event_type"), col("day"), col("macd"), col("signal"),
-          round(col("macd") - col("signal"), 6).as("hist"))
+      import s.implicits._
+      val pw = macdWeights.map { case (r, wf, ws, wg) =>
+        (r, wf.toString, ws.toString, wg.toString)
+      }.toDF("r", "wf0", "ws0", "wg0")
+        .select(col("r"),
+          col("wf0").cast(DecimalType(38, 0)).as("wf"),
+          col("ws0").cast(DecimalType(38, 0)).as("ws"),
+          col("wg0").cast(DecimalType(38, 0)).as("wg"))
+      def halfUp(num: String, den: String): Column = expr(
+        s"CASE WHEN $num >= 0 THEN (2 * $num + $den) div (2 * $den) " +
+          s"ELSE -((2 * (-$num) + $den) div (2 * $den)) END")
+      val daily = dailyCenti(s, dir)
+      val cur = daily.select(col("event_type"), col("day").as("t"))
+      val ew = daily
+        .withColumn("t",
+          explode(sequence(col("day"), col("day") + lit(macdL.toLong))))
+        .withColumn("r", col("t") - col("day"))
+        .join(cur, Seq("event_type", "t"))
+        .join(broadcast(pw), Seq("r"))
+        .groupBy(col("event_type"), col("t"))
+        .agg(sum(col("xc") * col("wf")).as("nf"), sum(col("wf")).as("df_"),
+          sum(col("xc") * col("ws")).as("ns"), sum(col("ws")).as("ds_"))
+        .withColumn("macd_2u", halfUp("nf", "df_") - halfUp("ns", "ds_"))
+      val sig = ew
+        .select(col("event_type"), col("t").as("day"), col("macd_2u"))
+        .withColumn("t",
+          explode(sequence(col("day"), col("day") + lit(macdL.toLong))))
+        .withColumn("r", col("t") - col("day"))
+        .join(cur, Seq("event_type", "t"))
+        .join(broadcast(pw.select(col("r"), col("wg"))), Seq("r"))
+        .groupBy(col("event_type"), col("t"))
+        .agg(sum(col("macd_2u") * col("wg")).as("ng"), sum(col("wg")).as("dg"))
+        .withColumn("signal_2u", halfUp("ng", "dg"))
+        .select(col("event_type"), col("t"), col("signal_2u"))
+      ew.join(sig, Seq("event_type", "t"))
+        .select(col("event_type"), col("t").as("day"),
+          (d(col("macd_2u")) / 100.0).as("macd"),
+          (d(col("signal_2u")) / 100.0).as("signal"),
+          (d(col("macd_2u") - col("signal_2u")) / 100.0).as("hist"))
         .orderBy("event_type", "day")
     }),
 
@@ -436,35 +484,41 @@ object Round8bQueries {
       |FROM g JOIN o ON g.event_type = o.event_type
       |ORDER BY g.event_type""".stripMargin,
 
-    "win_macd" -> """
-      |WITH daily AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
-      |    sum(CAST(value AS DECIMAL(18,6))) AS x
-      |  FROM events GROUP BY 1, 2),
-      |wt AS (SELECT event_type, day,
-      |    CAST(round(CAST(x AS DOUBLE) * pow(1.25, CAST(day AS DOUBLE)), 6)
-      |      AS DECIMAL(28,6)) AS uf,
-      |    CAST(round(pow(1.25, CAST(day AS DOUBLE)), 8) AS DECIMAL(18,8)) AS vf,
-      |    CAST(round(CAST(x AS DOUBLE) * pow(1.125, CAST(day AS DOUBLE)), 6)
-      |      AS DECIMAL(28,6)) AS us,
-      |    CAST(round(pow(1.125, CAST(day AS DOUBLE)), 8) AS DECIMAL(18,8)) AS vs
-      |  FROM daily),
+    "win_macd" -> s"""
+      |WITH $dailyCentiSql,
+      |pw(r, wf, ws, wg) AS (VALUES
+      |    $macdPwValues),
+      |contrib AS (SELECT d.event_type, d.xc, d.day + p.r AS t, p.wf, p.ws
+      |  FROM daily d CROSS JOIN pw p),
+      |ew AS (SELECT c.event_type, c.t AS day,
+      |    sum(c.xc * c.wf) AS nf, sum(c.wf) AS df_,
+      |    sum(c.xc * c.ws) AS ns, sum(c.ws) AS ds_
+      |  FROM contrib c JOIN daily cur
+      |    ON c.event_type = cur.event_type AND c.t = cur.day
+      |  GROUP BY 1, 2),
       |m AS (SELECT event_type, day,
-      |    round(CAST(sum(uf) OVER w AS DOUBLE) / CAST(sum(vf) OVER w AS DOUBLE)
-      |      - CAST(sum(us) OVER w AS DOUBLE) / CAST(sum(vs) OVER w AS DOUBLE),
-      |      6) AS macd
-      |  FROM wt WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-      |sg AS (SELECT event_type, day, macd,
-      |    CAST(round(macd * pow(1.5, CAST(day AS DOUBLE)), 6)
-      |      AS DECIMAL(28,6)) AS ug,
-      |    CAST(round(pow(1.5, CAST(day AS DOUBLE)), 8) AS DECIMAL(18,8)) AS vg
-      |  FROM m),
-      |s2 AS (SELECT event_type, day, macd,
-      |    round(CAST(sum(ug) OVER w AS DOUBLE) / CAST(sum(vg) OVER w AS DOUBLE),
-      |      6) AS signal
-      |  FROM sg WINDOW w AS (PARTITION BY event_type ORDER BY day))
-      |SELECT event_type, day, macd, signal,
-      |  round(macd - signal, 6) AS hist
-      |FROM s2 ORDER BY event_type, day""".stripMargin,
+      |    (CASE WHEN nf >= 0 THEN (2*nf + df_) // (2*df_)
+      |          ELSE -((2*(-nf) + df_) // (2*df_)) END)
+      |    - (CASE WHEN ns >= 0 THEN (2*ns + ds_) // (2*ds_)
+      |          ELSE -((2*(-ns) + ds_) // (2*ds_)) END) AS macd_2u
+      |  FROM ew),
+      |scontrib AS (SELECT m.event_type, m.macd_2u, m.day + p.r AS t, p.wg
+      |  FROM m CROSS JOIN pw p),
+      |sg AS (SELECT c.event_type, c.t AS day,
+      |    sum(c.macd_2u * c.wg) AS ng, sum(c.wg) AS dg
+      |  FROM scontrib c JOIN daily cur
+      |    ON c.event_type = cur.event_type AND c.t = cur.day
+      |  GROUP BY 1, 2),
+      |s2 AS (SELECT event_type, day,
+      |    CASE WHEN ng >= 0 THEN (2*ng + dg) // (2*dg)
+      |         ELSE -((2*(-ng) + dg) // (2*dg)) END AS signal_2u
+      |  FROM sg)
+      |SELECT m.event_type, m.day,
+      |  CAST(m.macd_2u AS DOUBLE) / 100.0 AS macd,
+      |  CAST(s2.signal_2u AS DOUBLE) / 100.0 AS signal,
+      |  CAST(m.macd_2u - s2.signal_2u AS DOUBLE) / 100.0 AS hist
+      |FROM m JOIN s2 ON m.event_type = s2.event_type AND m.day = s2.day
+      |ORDER BY m.event_type, m.day""".stripMargin,
 
     "graph_resource_alloc" -> ("WITH " + GraphStatsQueries.edgesSql +
       """,
