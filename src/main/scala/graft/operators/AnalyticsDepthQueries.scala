@@ -182,8 +182,7 @@ object AnalyticsDepthQueries {
     // (one doc per line; the corpus is single-line by construction).
     // Splittable on read; the aggregate proves content survived.
     "source_text_lines" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_textlines_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = graft.tools.Scratch.dir(s, "textlines", dir)
       Tables.documents(s, dir).select(col("text"))
         .write.mode("overwrite").text(out)
       s.read.text(out)

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -28,13 +29,10 @@ import graft.sources.Tables
   */
 object DepthQueries {
 
-  /** Per-sfdir scratch dir for the partitioned write (overwritten per
-    * run). Same scheme as SurfaceQueries: java.io.tmpdir + the FULL
-    * sanitized sf path, so distinct corpora that share a basename can
-    * never clobber each other's scratch. */
-  private def scratch(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_depth_${kind}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Per-sfdir, app-id-salted scratch dir for the partitioned write
+    * (shared scheme, see graft.tools.Scratch). */
+  private def scratch(s: SparkSession, kind: String, dir: String): String =
+    graft.tools.Scratch.dir(s, "depth_" + kind, dir)
 
   val queries: Map[String, QFn] = Map(
 
@@ -78,7 +76,7 @@ object DepthQueries {
     // scan prunes to lang=en/fr via PartitionFilters, not a full scan +
     // filter) is asserted in DepthSpec.
     "source_partitioned_pruned" -> ((s, dir) => {
-      val out = scratch("part", dir)
+      val out = scratch(s, "part", dir)
       Tables.documents(s, dir)
         .select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite").partitionBy("lang").parquet(out)

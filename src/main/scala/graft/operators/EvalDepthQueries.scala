@@ -145,8 +145,7 @@ object EvalDepthQueries {
     // ingest from dying on one bad line. The aggregate proves both the
     // corrupt count and that valid fields survived.
     "source_json_corrupt" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsoncorrupt_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val out = graft.tools.Scratch.dir(s, "jsoncorrupt", dir)
       Tables.documents(s, dir)
         .select(when(col("doc_id") % 7 === 0,
             concat(lit("{\"doc_id\": "), col("doc_id"), lit(", BROKEN")))

@@ -111,7 +111,10 @@ object GlobalRank {
     * [[MaxOffsetsRows]] by 32× (derived width ≤ 2^10), while still
     * giving a large cluster three decades more parallelism than the
     * harness's 32. Callers that know their group cardinality pass
-    * `groupsHint` for a tighter (wider) derivation. */
+    * `groupsHint` for a tighter (wider) derivation. The assumption is
+    * ENFORCED, not trusted: an unhinted partitioned build probes the
+    * materialized frame and raises when the actual group count
+    * exceeds this bound (see guardUnhintedGroups, r8 verdict item 5). */
   val AssumedGroupsNoHint: Int = 1 << 10
 
   /** Derived range width given the session's shuffle parallelism and a
@@ -161,6 +164,25 @@ object GlobalRank {
         "monotonically_increasing_id's local offset overflowed into its " +
         "partition bits; raise the partition count"))).otherwise(onCol)
 
+  /** r8 verdict item 5: an unhinted partitioned call ASSUMES
+    * [[AssumedGroupsNoHint]] groups for the width derivation — make
+    * the assumption LOUD instead of silently over-broadcasting when it
+    * is wrong. The probe reads the already-materialized ranged frame
+    * (one tiny distinct-limit job at build time); it costs nothing for
+    * hinted callers, and every declared partitioned call site passes
+    * `groupsHint`, so no bench path ever runs it. */
+  private def guardUnhintedGroups(ranged: DataFrame, part: Seq[String],
+      groupsHint: Int): Unit =
+    if (part.nonEmpty && groupsHint <= 0) {
+      val seen = ranged.select(part.map(col): _*).distinct()
+        .limit(AssumedGroupsNoHint + 1).count()
+      require(seen <= AssumedGroupsNoHint,
+        s"GlobalRank: partitioned call without groupsHint has more than " +
+          s"$AssumedGroupsNoHint distinct groups — the derived range width " +
+          "assumed at most that many; pass groupsHint (or use a plain " +
+          "Window.partitionBy for high-cardinality groups)")
+    }
+
   /** `df` plus `rnCol` = 1-based row_number over `order` within each
     * `part` group (global when `part` is empty) and `nCol` = the group's
     * total row count — both computed without a single-partition window.
@@ -190,6 +212,7 @@ object GlobalRank {
         .withColumn(PHYS, spark_partition_id())
         .withColumn(PID, shiftright(col(MID), 33).cast("int"))
         .withColumn(SEQ, col(MID).bitwiseAND(lit((1L << 33) - 1))))
+    guardUnhintedGroups(ranged, part, groupsHint)
     // one row per (range slice, group): row count + first local offset.
     // Bounded by partitions × |groups| regardless of data scale. BAD
     // flags any pid/physical-partition disagreement (2^33 overflow).
@@ -311,6 +334,7 @@ object GlobalRank {
         .withColumn(MID, monotonically_increasing_id())
         .withColumn(PHYS, spark_partition_id())
         .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+    guardUnhintedGroups(ranged, part, groupsHint)
     val sliceAggs = vals.map { case (v, run, _) => sum(v).as(s"__gr_s_$run") } :+
       max(when(col(PID) =!= col(PHYS), 1).otherwise(0)).as(BAD)
     val stats = ranged.groupBy(col(PID) +: partCols: _*)

@@ -25,48 +25,48 @@ object LlmQueries {
 
   import graft.functions.TextShingles.{mkShingles, verifyJaccard06}
 
-  val queries: Map[String, QFn] = Map(
-    "llm_dedup_exact" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .groupBy(md5(col("text")).as("text_md5"))
-        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .orderBy("text_md5")
-    }),
-
-    "llm_dedup_near" -> ((s, dir) => {
-      // PPJoin-style prefix-filtered exact Jaccard join. Prefix filtering
-      // is lossless under ANY fixed global total order on shingles: each
-      // doc keeps its first L(n) = n - ceil(0.6 n) + 1 shingles under
-      // that order, and any pair with J >= 0.6 must share a prefix
-      // shingle. The canonical PPJoin order — (document frequency ASC,
-      // shingle ASC) — makes prefixes the corpus-RAREST shingles, so
-      // candidate volume tracks true near-dup density (measured at
-      // sf0.1: 450k lexicographic-prefix candidates → rare-prefix
-      // candidates orders of magnitude fewer). Costs one df aggregation
-      // + one join + one per-doc window; pays for itself because every
-      // candidate pair re-attaches two full shingle arrays in the
-      // verify. Candidates are verified exactly (merge-pass
-      // SortedIntersectCount, TextShingles.verifyJaccard06, shared with
-      // the LSH operators) — the oracle output cannot move.
-      // explode_outer (not explode) so the optimizer has no inferred
-      // `size(sh) > 0` filter to push below the projection — that
-      // pushdown would re-evaluate the shingle kernel a second time per
-      // row in the scan stage.
-      // Same staging as llm_dedup_ngram (PipelineQueries): the shingle
-      // and prefix tables feed both sides of a self-join with no
-      // exchange reuse across the renamed sides, so both are eagerly
-      // localCheckpoint'ed; document frequency is a window count over
-      // the exploded shingles (one pass) instead of groupBy + re-join
-      // (two evaluations of the explode pipeline). Candidates then pass
-      // two further lossless cuts: the length-ratio filter
-      // (J >= 0.6 forces 3*max(na,nb) <= 5*min(na,nb)) and PPJoin's
-      // positional bound taken as a MINIMUM over all shared prefix
-      // shingles — |A∩B| <= min(i-1,j-1) + min(na-i,nb-j) + 1 at every
-      // shared position, so a true pair satisfies the bound everywhere.
+  /** PPJoin-style prefix-filtered exact-Jaccard near-dup pairs over a
+    * (doc_id, text) frame — THE llm_dedup_near body, frame-parametric
+    * so ScaleDryRun's k× replay measures the SHIPPED pipeline, not a
+    * copy (r8 verdict item 3).
+    *
+    * PPJoin prefix filtering
+    * is lossless under ANY fixed global total order on shingles: each
+    * doc keeps its first L(n) = n - ceil(0.6 n) + 1 shingles under
+    * that order, and any pair with J >= 0.6 must share a prefix
+    * shingle. The canonical PPJoin order — (document frequency ASC,
+    * shingle ASC) — makes prefixes the corpus-RAREST shingles, so
+    * candidate volume tracks true near-dup density (measured at
+    * sf0.1: 450k lexicographic-prefix candidates → rare-prefix
+    * candidates orders of magnitude fewer). Costs one df aggregation
+    * + one join + one per-doc window; pays for itself because every
+    * candidate pair re-attaches two full shingle arrays in the
+    * verify. Candidates are verified exactly (merge-pass
+    * SortedIntersectCount, TextShingles.verifyJaccard06, shared with
+    * the LSH operators) — the oracle output cannot move.
+    * explode_outer (not explode) so the optimizer has no inferred
+    * `size(sh) > 0` filter to push below the projection — that
+    * pushdown would re-evaluate the shingle kernel a second time per
+    * row in the scan stage.
+    * Same staging as llm_dedup_ngram (PipelineQueries): the shingle
+    * and prefix tables feed both sides of a self-join with no
+    * exchange reuse across the renamed sides, so both are eagerly
+    * localCheckpoint'ed; document frequency is a window count over
+    * the exploded shingles (one pass) instead of groupBy + re-join
+    * (two evaluations of the explode pipeline). Candidates then pass
+    * two further lossless cuts: the length-ratio filter
+    * (J >= 0.6 forces 3*max(na,nb) <= 5*min(na,nb)) and PPJoin's
+    * positional bound taken as a MINIMUM over all shared prefix
+    * shingles — |A∩B| <= min(i-1,j-1) + min(na-i,nb-j) + 1 at every
+    * shared position, so a true pair satisfies the bound everywhere.
+    */
+  def nearDupPairs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
       val sh = graft.tools.Materialize.eager("dedup_near.sh",
-        Tables.documents(s, dir)
+        docs
           .select(col("doc_id"), mkShingles(col("text")).as("sh"))
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
           .withColumn("n", size(col("sh"))))
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)
@@ -91,7 +91,17 @@ object LlmQueries {
         .where(col("mb") * 8 >= (col("na") + col("nb")) * 3)
         .select("a_id", "b_id")
       verifyJaccard06(cand, sh)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "llm_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy(md5(col("text")).as("text_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("text_md5")
     }),
+
+    "llm_dedup_near" -> ((s, dir) => nearDupPairs(Tables.documents(s, dir))),
 
     "llm_simsearch_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)

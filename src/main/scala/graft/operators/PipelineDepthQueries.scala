@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,9 +36,8 @@ object PipelineDepthQueries {
   /** DuckDB token-array idiom, identical filtering. */
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  private def scratch(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+  private def scratch(s: SparkSession, kind: String, dir: String): String =
+    graft.tools.Scratch.dir(s, kind, dir)
 
   /** Chunk table from a documents frame — THE llm_chunk_stride body,
     * factored so ScaleDryRun replays the shipped pipeline (not a copy)
@@ -257,7 +257,7 @@ object PipelineDepthQueries {
     // null semantics and the merged schema both survived the round
     // trip. Splittable parquet both sides, no inference scan.
     "source_parquet_evolve" -> ((s, dir) => {
-      val out = scratch("pqevolve", dir)
+      val out = scratch(s, "pqevolve", dir)
       val ev = Tables.events(s, dir)
       ev.where(col("event_id") % 2 === 0)
         .select("event_id", "user_id")

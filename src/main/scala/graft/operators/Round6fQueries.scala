@@ -86,9 +86,12 @@ object Round6fQueries {
             (col("a_i").cast(DoubleType) / (lit(2.0) * md)) *
               (col("a_i").cast(DoubleType) / (lit(2.0) * md)), 8)
             .cast(DecimalType(18, 8)).as("term"))
+      // round the EXACT decimal(18,8) term sum BEFORE the double cast
+      // (BoundaryGuard r9: an 8dp sum ending in ...50 sits exactly on
+      // the 6dp half boundary; decimal half-up is engine-exact)
       terms.agg(max("m").as("m_edges"), count(lit(1)).as("n_communities"),
         sum("e_in").as("internal_edges"),
-        round(sum("term").cast(DoubleType), 6).as("modularity"))
+        round(sum("term"), 6).cast(DoubleType).as("modularity"))
     }),
 
     // ---- weekly growth accounting ----------------------------------------
@@ -177,7 +180,7 @@ object Round6fQueries {
       |SELECT (SELECT m FROM m) AS m_edges,
       |  CAST(count(*) AS BIGINT) AS n_communities,
       |  CAST(sum(e_in) AS BIGINT) AS internal_edges,
-      |  round(CAST(sum(term) AS DOUBLE), 6) AS modularity
+      |  CAST(round(sum(term), 6) AS DOUBLE) AS modularity
       |FROM terms""".stripMargin,
 
     "agg_growth_accounting" -> """

@@ -97,25 +97,30 @@ object Round7cQueries {
       val wAll = Window.rowsBetween(Window.unboundedPreceding,
         Window.unboundedFollowing)
       def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
+      // θ_(-i), θ̄ and the squared deviations as EXACT half-up 1e-8
+      // integers (BoundaryGuard r9: (s−si)/(n−ni) terminates whenever
+      // n−ni is 2-5-smooth, landing exactly on 8dp half boundaries —
+      // the systematic string-vs-binary rounding hazard). sq16 is the
+      // UNROUNDED exact square in 1e-16 units (decimal 38,0); the only
+      // doubles are the final sqrt closed form and display divisions.
       val loo = per
         .withColumn("n", sum("ni").over(wAll))
         .withColumn("s", sum("si").over(wAll))
         .withColumn("g", count(lit(1)).over(wAll))
-        .withColumn("theta",
-          (d(col("s")) - d(col("si"))) / (d(col("n")) - d(col("ni"))))
-        // θ̄ from 8dp-quantized decimals: a raw double window-avg would
-        // be partial-order dependent across the 25 rows
-        .withColumn("tbar",
-          sum(round(col("theta"), 8).cast(DecimalType(18, 8))).over(wAll)
-            .cast(DoubleType) / d(col("g")))
+        .withColumn("th8", expr(
+          "(2 * CAST((s - si) * 100000000 AS DECIMAL(38,0)) + (n - ni)) " +
+            "div (2 * (n - ni))"))
+        .withColumn("tb8", expr(
+          "(2 * sum(th8) OVER () + g) div (2 * g)"))
+        .withColumn("diff8",
+          (col("th8") - col("tb8")).cast(DecimalType(19, 0)))
       loo.select(col("g"), col("n"), col("s"),
-          round((col("theta") - col("tbar")) * (col("theta") - col("tbar")), 8)
-            .cast(DecimalType(18, 8)).as("sq"))
-        .groupBy("g", "n", "s").agg(sum("sq").as("ssq"))
+          (col("diff8") * col("diff8")).as("sq16"))
+        .groupBy("g", "n", "s").agg(sum("sq16").as("ssq16"))
         .select(col("g").as("n_groups"),
           round(d(col("s")) / d(col("n")), 6).as("mean_price"),
           round(sqrt((d(col("g")) - 1) / d(col("g")) *
-            col("ssq").cast(DoubleType)), 6).as("jackknife_se"))
+            (col("ssq16").cast(DoubleType) / 1.0e16)), 6).as("jackknife_se"))
     }),
 
     // ---- generalized means ------------------------------------------------
@@ -264,20 +269,20 @@ object Round7cQueries {
       |loo AS (SELECT *,
       |    CAST(sum(ni) OVER () AS BIGINT) AS n, sum(si) OVER () AS s,
       |    CAST(count(*) OVER () AS BIGINT) AS g,
-      |    (CAST(sum(si) OVER () AS DOUBLE) - CAST(si AS DOUBLE))
-      |      / (CAST(sum(ni) OVER () AS DOUBLE) - CAST(ni AS DOUBLE)) AS theta
+      |    (2 * CAST((sum(si) OVER () - si) * 100000000 AS HUGEINT)
+      |      + (sum(ni) OVER () - ni))
+      |      // (2 * (sum(ni) OVER () - ni)) AS th8
       |  FROM per),
       |lt AS (SELECT *,
-      |    CAST(sum(CAST(round(theta, 8) AS DECIMAL(18,8))) OVER () AS DOUBLE)
-      |      / CAST(g AS DOUBLE) AS tbar
+      |    (2 * sum(th8) OVER () + g) // (2 * g) AS tb8
       |  FROM loo),
       |sq AS (SELECT g, n, s,
-      |    CAST(round((theta - tbar) * (theta - tbar), 8) AS DECIMAL(18,8)) AS sq
+      |    (th8 - tb8) * (th8 - tb8) AS sq16
       |  FROM lt)
       |SELECT g AS n_groups,
       |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_price,
       |  round(sqrt((CAST(g AS DOUBLE) - 1) / CAST(g AS DOUBLE)
-      |    * CAST(sum(sq) AS DOUBLE)), 6) AS jackknife_se
+      |    * (CAST(sum(sq16) AS DOUBLE) / 1e16)), 6) AS jackknife_se
       |FROM sq GROUP BY g, n, s""".stripMargin,
 
     "agg_power_means" -> """

@@ -112,23 +112,35 @@ object Round7dQueries {
     // double division; detrended values are 6dp-quantized before the
     // seasonal mean so the group sum is order-free.
     "win_seasonal_decompose" -> ((s, dir) => {
+      // Fully exact micro-unit pipeline (BoundaryGuard r9: the dow-mean
+      // over counts 4/5 terminates and lands exactly on 6dp half
+      // boundaries). x is an exact 6dp decimal sum, so x6 = x*1e6 is an
+      // exact long; trend/seasonal are signed half-up integer divisions
+      // of exact sums; resid is an exact integer difference. The only
+      // doubles are the final /1e6 display divisions.
       val w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-3, 3)
+      def halfUp(num: String, den: String): Column = expr(
+        s"CASE WHEN $num >= 0 THEN (2 * $num + $den) div (2 * $den) " +
+          s"ELSE -((2 * (-$num) + $den) div (2 * $den)) END")
       val t = daily(s, dir)
+        .withColumn("x6",
+          (col("x") * 1000000).cast(DecimalType(38, 0)).cast("long"))
         .withColumn("n7", count(lit(1)).over(w))
-        .withColumn("tsum", sum("x").over(w))
-        .select(col("event_type"), col("day"), col("x"),
-          when(col("n7") === 7, round(d(col("tsum")) / 7.0, 6)).as("trend"))
+        .withColumn("ts6", sum("x6").over(w))
+        .select(col("event_type"), col("day"), col("x6"),
+          when(col("n7") === 7, halfUp("ts6", "7")).as("t6"))
         .withColumn("dow", col("day") % 7)
-        .withColumn("detr",
-          round(d(col("x")) - col("trend"), 6).cast(DecimalType(18, 6)))
+        .withColumn("d6", col("x6") - col("t6"))
       val seas = t.groupBy(col("event_type").as("et2"), col("dow").as("dow2"))
-        .agg(round(d(sum(col("detr"))) / count(col("detr")), 6).as("seasonal"))
+        .agg(sum(col("d6")).as("sd6"), count(col("d6")).as("cd6"))
+        .select(col("et2"), col("dow2"), halfUp("sd6", "cd6").as("s6"))
       t.join(broadcast(seas),
           col("event_type") === col("et2") && col("dow") === col("dow2"))
         .select(col("event_type"), col("day"),
-          round(d(col("x")), 6).as("daily_sum"),
-          col("trend"), col("seasonal"),
-          round(d(col("x")) - col("trend") - col("seasonal"), 6).as("resid"))
+          (d(col("x6")) / 1000000.0).as("daily_sum"),
+          (d(col("t6")) / 1000000.0).as("trend"),
+          (d(col("s6")) / 1000000.0).as("seasonal"),
+          (d(col("x6") - col("t6") - col("s6")) / 1000000.0).as("resid"))
         .orderBy("event_type", "day")
     }),
 
@@ -158,10 +170,13 @@ object Round7dQueries {
           round(log(d((col("ct") + 1) * (col("nr") + 128)) /
             d((col("cr") + 1) * (col("nt") + 128))), 8)
             .cast(DecimalType(18, 8)).as("lr"))
+      // round the EXACT decimal(18,8) lr sum BEFORE the double cast
+      // (BoundaryGuard r9: an 8dp sum ending in ...50 sits exactly on
+      // the 6dp half boundary; decimal half-up is engine-exact)
       toks.join(broadcast(lm), "b")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tok"),
-          round(d(sum(col("lr"))), 6).as("dsir_w"))
+          round(sum(col("lr")), 6).cast(DoubleType).as("dsir_w"))
         .orderBy(col("dsir_w").desc, col("doc_id"))
         .limit(25)
     }),
@@ -300,22 +315,30 @@ object Round7dQueries {
 
     "win_seasonal_decompose" -> s"""
       |WITH $dailySql,
-      |t AS (SELECT event_type, day, x,
-      |    CASE WHEN CAST(count(*) OVER w AS BIGINT) = 7
-      |      THEN round(CAST(sum(x) OVER w AS DOUBLE) / 7.0, 6) END AS trend,
+      |t AS (SELECT event_type, day,
+      |    CAST(x * 1000000 AS BIGINT) AS x6,
+      |    CASE WHEN CAST(count(*) OVER w AS BIGINT) = 7 THEN
+      |      CASE WHEN sum(CAST(x * 1000000 AS BIGINT)) OVER w >= 0
+      |        THEN (2 * sum(CAST(x * 1000000 AS BIGINT)) OVER w + 7) // 14
+      |        ELSE -((2 * (-sum(CAST(x * 1000000 AS BIGINT)) OVER w) + 7) // 14)
+      |      END
+      |    END AS t6,
       |    day % 7 AS dow
       |  FROM daily
       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
       |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-      |t2 AS (SELECT *,
-      |    CAST(round(CAST(x AS DOUBLE) - trend, 6) AS DECIMAL(18,6)) AS detr
-      |  FROM t),
+      |t2 AS (SELECT *, x6 - t6 AS d6 FROM t),
       |seas AS (SELECT event_type, dow,
-      |    round(CAST(sum(detr) AS DOUBLE) / count(detr), 6) AS seasonal
+      |    CASE WHEN sum(d6) >= 0
+      |      THEN (2 * sum(d6) + count(d6)) // (2 * count(d6))
+      |      ELSE -((2 * (-sum(d6)) + count(d6)) // (2 * count(d6)))
+      |    END AS s6
       |  FROM t2 GROUP BY 1, 2)
       |SELECT t2.event_type, t2.day,
-      |  round(CAST(x AS DOUBLE), 6) AS daily_sum, trend, seasonal,
-      |  round(CAST(x AS DOUBLE) - trend - seasonal, 6) AS resid
+      |  CAST(x6 AS DOUBLE) / 1000000.0 AS daily_sum,
+      |  CAST(t6 AS DOUBLE) / 1000000.0 AS trend,
+      |  CAST(s6 AS DOUBLE) / 1000000.0 AS seasonal,
+      |  CAST(x6 - t6 - s6 AS DOUBLE) / 1000000.0 AS resid
       |FROM t2 JOIN seas ON t2.event_type = seas.event_type AND t2.dow = seas.dow
       |ORDER BY t2.event_type, t2.day""".stripMargin,
 
@@ -336,7 +359,7 @@ object Round7dQueries {
       |      / CAST((cr + 1) * (nt + 128) AS DOUBLE)), 8) AS DECIMAL(18,8)) AS lr
       |  FROM lm)
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-      |  round(CAST(sum(lr) AS DOUBLE), 6) AS dsir_w
+      |  CAST(round(sum(lr), 6) AS DOUBLE) AS dsir_w
       |FROM tb JOIN lr USING (b)
       |GROUP BY doc_id ORDER BY dsir_w DESC, doc_id LIMIT 25""".stripMargin,
 

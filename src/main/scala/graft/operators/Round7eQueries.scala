@@ -106,20 +106,33 @@ object Round7eQueries {
           round(d(col("swx")) / d(col("sw")), 6)
             .cast(DecimalType(18, 6)).as("m"))
       val m19 = col("m").cast(DecimalType(19, 6))
+      // mean and ci bounds as EXACT half-up micro-unit integers
+      // (BoundaryGuard r9: cents/n terminates whenever the per-priority
+      // order count is 2-5-smooth and mean ± 1.96·se is an exact 1e-8
+      // rational — both land exactly on 6dp half boundaries, the
+      // systematic string-vs-binary rounding hazard). The only doubles
+      // left are the sqrt closed form (chance-class, guard-watched) and
+      // the final /1e6 display divisions.
       val boot = means.groupBy("o_orderpriority")
         .agg(sum(col("m")).as("sm"), sum(m19 * m19).as("smm"))
         .select(col("o_orderpriority"),
-          round(sqrt((d(col("smm")) - d(col("sm")) * d(col("sm")) / 64.0) / 63.0),
-            6).as("boot_se"))
+          (round(sqrt((d(col("smm")) - d(col("sm")) * d(col("sm")) / 64.0) / 63.0),
+            6).cast(DecimalType(18, 6)) * 1000000)
+            .cast(DecimalType(38, 0)).cast("long").as("se6"))
       val pt = o.groupBy(col("o_orderpriority").as("op2"))
         .agg(count(lit(1)).as("n_orders"), sum(col("x")).as("sx"))
-        .select(col("op2"), col("n_orders"),
-          round(d(col("sx")) / d(col("n_orders")), 6).as("mean_price"))
+        .withColumn("sx6", (col("sx") * 1000000).cast(DecimalType(38, 0)))
+        .withColumn("m6", expr("(2 * sx6 + n_orders) div (2 * n_orders)"))
+        .select(col("op2"), col("n_orders"), col("m6"))
       boot.join(broadcast(pt), col("o_orderpriority") === col("op2"))
-        .select(col("o_orderpriority"), col("n_orders"), col("mean_price"),
-          col("boot_se"),
-          round(col("mean_price") - lit(1.96) * col("boot_se"), 6).as("ci_lo"),
-          round(col("mean_price") + lit(1.96) * col("boot_se"), 6).as("ci_hi"))
+        .withColumn("lo8", col("m6") * 100 - col("se6") * 196)
+        .withColumn("hi8", col("m6") * 100 + col("se6") * 196)
+        .select(col("o_orderpriority"), col("n_orders"),
+          (d(col("m6")) / 1000000.0).as("mean_price"),
+          (d(col("se6")) / 1000000.0).as("boot_se"),
+          (d(expr("CASE WHEN lo8 >= 0 THEN (2 * lo8 + 100) div 200 " +
+            "ELSE -((2 * (-lo8) + 100) div 200) END")) / 1000000.0).as("ci_lo"),
+          (d(expr("(2 * hi8 + 100) div 200")) / 1000000.0).as("ci_hi"))
         .orderBy("o_orderpriority")
     }),
 
@@ -234,19 +247,25 @@ object Round7eQueries {
       |      AS DECIMAL(18,6)) AS m
       |  FROM rep GROUP BY o_orderpriority, b),
       |boot AS (SELECT o_orderpriority,
-      |    round(sqrt((CAST(sum(CAST(m AS DECIMAL(19,6))
+      |    CAST(CAST(round(sqrt((CAST(sum(CAST(m AS DECIMAL(19,6))
       |          * CAST(m AS DECIMAL(19,6))) AS DOUBLE)
       |        - CAST(sum(m) AS DOUBLE) * CAST(sum(m) AS DOUBLE) / 64.0) / 63.0),
-      |      6) AS boot_se
+      |      6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS se6
       |  FROM means GROUP BY o_orderpriority),
       |pt AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
-      |    round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
-      |      AS mean_price
+      |    (2 * CAST(sum(x) * 1000000 AS HUGEINT) + count(*))
+      |      // (2 * count(*)) AS m6
       |  FROM o GROUP BY o_orderpriority)
-      |SELECT pt.o_orderpriority, n_orders, mean_price, boot_se,
-      |  round(mean_price - 1.96 * boot_se, 6) AS ci_lo,
-      |  round(mean_price + 1.96 * boot_se, 6) AS ci_hi
-      |FROM boot JOIN pt USING (o_orderpriority)
+      |SELECT o_orderpriority, n_orders,
+      |  CAST(m6 AS DOUBLE) / 1000000.0 AS mean_price,
+      |  CAST(se6 AS DOUBLE) / 1000000.0 AS boot_se,
+      |  CAST(CASE WHEN lo8 >= 0 THEN (2 * lo8 + 100) // 200
+      |       ELSE -((2 * (-lo8) + 100) // 200) END AS DOUBLE)
+      |    / 1000000.0 AS ci_lo,
+      |  CAST((2 * hi8 + 100) // 200 AS DOUBLE) / 1000000.0 AS ci_hi
+      |FROM (SELECT pt.o_orderpriority, n_orders, m6, se6,
+      |    m6 * 100 - se6 * 196 AS lo8, m6 * 100 + se6 * 196 AS hi8
+      |  FROM boot JOIN pt USING (o_orderpriority)) z
       |ORDER BY o_orderpriority""".stripMargin,
 
     "agg_pettitt_changepoint" -> s"""

@@ -80,17 +80,25 @@ object Round8pQueries {
         .withColumn("mdm", when(col("dn") > col("up") && col("dn") > 0,
           col("dn")).otherwise(0L))
         .where(col("ph").isNotNull)
+      // dx and adx as EXACT half-up micro-unit divisions (BoundaryGuard
+      // r9: the dx-mean over counts 2/4/5/8/10 terminates and lands
+      // exactly on 6dp half boundaries — the systematic string-vs-
+      // binary rounding hazard). hi/lo are centi of per-day max/min
+      // value, so |p-m| and p+m are SF-independent (≤ ~1.6e6) and the
+      // 2e8-scaled numerators stay far inside int64.
       val dx = dm
         .withColumn("p", sum("pdm").over(wa))
         .withColumn("m", sum("mdm").over(wa))
         .withColumn("nw", count(lit(1)).over(wa))
         .where(col("nw") === 14)
-        .withColumn("dx", when(col("p") + col("m") > 0,
-          round(lit(100.0) * d(abs(col("p") - col("m")))
-            / d(col("p") + col("m")), 6)))
-      dx.select(col("event_type"), col("day"), col("dx"),
-          round(d(sum(col("dx").cast(DecimalType(18, 6))).over(wa))
-            / d(count(col("dx")).over(wa)), 6).as("adx"))
+        .withColumn("dx6", when(col("p") + col("m") > 0,
+          expr("(2 * 100000000 * abs(p - m) + (p + m)) div (2 * (p + m))")))
+      dx
+        .withColumn("sdx", sum("dx6").over(wa))
+        .withColumn("cdx", count(col("dx6")).over(wa))
+        .select(col("event_type"), col("day"),
+          (d(col("dx6")) / 1000000.0).as("dx"),
+          (d(expr("(2 * sdx + cdx) div (2 * cdx)")) / 1000000.0).as("adx"))
         .orderBy("event_type", "day")
     }),
 
@@ -191,8 +199,8 @@ object Round8pQueries {
       |  WHERE up IS NOT NULL),
       |dx AS (SELECT event_type, day,
       |    CASE WHEN p + m > 0
-      |         THEN round(100.0 * CAST(abs(p - m) AS DOUBLE)
-      |           / CAST(p + m AS DOUBLE), 6) END AS dx
+      |         THEN (2 * 100000000 * abs(p - m) + (p + m)) // (2 * (p + m))
+      |    END AS dx6
       |  FROM (SELECT event_type, day,
       |      CAST(sum(pdm) OVER w AS BIGINT) AS p,
       |      CAST(sum(mdm) OVER w AS BIGINT) AS m,
@@ -200,12 +208,13 @@ object Round8pQueries {
       |    FROM dm WINDOW w AS (PARTITION BY event_type ORDER BY day
       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) y
       |  WHERE nw = 14)
-      |SELECT event_type, day, dx,
-      |  round(CAST(sum(CAST(dx AS DECIMAL(18,6))) OVER w AS DOUBLE)
-      |    / CAST(count(dx) OVER w AS DOUBLE), 6) AS adx
-      |FROM dx
-      |WINDOW w AS (PARTITION BY event_type ORDER BY day
-      |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |SELECT event_type, day,
+      |  CAST(dx6 AS DOUBLE) / 1000000.0 AS dx,
+      |  CAST((2 * sdx + cdx) // (2 * cdx) AS DOUBLE) / 1000000.0 AS adx
+      |FROM (SELECT event_type, day, dx6,
+      |    sum(dx6) OVER w AS sdx, count(dx6) OVER w AS cdx
+      |  FROM dx WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)) z
       |ORDER BY event_type, day""".stripMargin,
 
     "win_sma_cross" -> s"""

@@ -51,13 +51,11 @@ object Round8sQueries {
     // length(bin(n))−1 idiom; shares are integer ratios per type.
     "agg_gap_dist" -> ((s, dir) => {
       val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").asc, col("event_id").asc)
+        .orderBy(col("tus").asc, col("event_id").asc)
       val gaps = Tables.events(s, dir)
         .select(col("user_id"), col("event_type"), col("event_id"),
           unix_micros(col("ts").cast("timestamp")).as("tus"))
-        .withColumn("ptus", lag("tus", 1).over(
-          Window.partitionBy("user_id").orderBy(col("tus").asc,
-            col("event_id").asc)))
+        .withColumn("ptus", lag("tus", 1).over(w))
         .where(col("ptus").isNotNull)
         .withColumn("gap", expr("(tus - ptus) div 1000000"))
         .withColumn("bucket", (length(bin(col("gap") + 1)) - 1).cast("long"))

@@ -25,9 +25,9 @@ object Round8vQueries {
 
   private def d(c: Column): Column = c.cast(DoubleType)
 
-  private def scratch(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** App-id-salted scratch (shared scheme, see graft.tools.Scratch). */
+  private def scratch(s: SparkSession, kind: String, dir: String): String =
+    graft.tools.Scratch.dir(s, kind, dir)
 
   val queries: Map[String, QFn] = Map(
 
@@ -39,7 +39,7 @@ object Round8vQueries {
     // per-order aggregate straight from parquet, so the roundtrip must
     // be lossless end to end.
     "source_json_nested" -> ((s, dir) => {
-      val out = scratch("jsonnest", dir)
+      val out = scratch(s, "jsonnest", dir)
       val nested = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"),

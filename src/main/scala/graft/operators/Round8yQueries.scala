@@ -63,10 +63,16 @@ object Round8yQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum(x).as("s1"),
           sum(x * x).as("s2"), sum(x * x * x).as("s3"),
-          sum(x * x * x * x).as("s4"))
+          sum(x * x * x * x).as("s4"), max(abs(col("xc"))).as("mx"))
       val n = d(col("n"))
       val (s1, s2, s3, s4) = (d(col("s1")), d(col("s2")), d(col("s3")),
         d(col("s4")))
+      // decimal(38,0) range bound for the first 4th-power sum in the
+      // codebase: s4 ≤ n·max|xc|⁴. Past the cap Spark (non-ANSI) would
+      // silently NULL while DuckDB raises — guard to the same loud
+      // failure (the win_stochastic_osc idiom). 1e37 leaves 10× slack.
+      val mx = d(col("mx"))
+      val s4Bound = n * mx * mx * mx * mx
       val m2 = (n * s2 - s1 * s1) / (n * n)
       val m3 = (n * n * s3 - lit(3.0) * n * s1 * s2
         + lit(2.0) * s1 * s1 * s1) / (n * n * n)
@@ -74,7 +80,10 @@ object Round8yQueries {
         + lit(6.0) * n * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) /
         (n * n * n * n)
       g.select(col("event_type"), col("n"),
-          round(m3 / (m2 * sqrt(m2)), 4).as("skewness"),
+          when(s4Bound > lit(1.0e37), raise_error(lit(
+            "agg_skew_kurtosis: n*max(xc)^4 approaches the decimal(38,0) " +
+              "cap; rescale xc (centi -> unit) before the power sums")))
+            .otherwise(round(m3 / (m2 * sqrt(m2)), 4)).as("skewness"),
           round(m4 / (m2 * m2) - 3.0, 4).as("excess_kurtosis"))
         .orderBy("event_type")
     }),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -27,10 +28,10 @@ import graft.sources.Tables
   */
 object SessionSurfaceQueries {
 
-  /** Per-sfdir scratch dir for the pipe-CSV round trip. */
-  private def scratch(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_psv_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Per-sfdir, app-id-salted scratch dir for the pipe-CSV round trip
+    * (shared scheme, see graft.tools.Scratch). */
+  private def scratch(s: SparkSession, dir: String): String =
+    graft.tools.Scratch.dir(s, "psv", dir)
 
   val queries: Map[String, QFn] = Map(
 
@@ -115,7 +116,7 @@ object SessionSurfaceQueries {
 
     // ---- pipe-delimited CSV with explicit null handling -----------------
     "source_csv_pipe" -> ((s, dir) => {
-      val out = scratch(dir)
+      val out = scratch(s, dir)
       Tables.part(s, dir)
         .select(col("p_partkey"), col("p_name"), col("p_type"),
           nullif(col("p_brand"), lit("Brand#11")).as("brand_or_null"),

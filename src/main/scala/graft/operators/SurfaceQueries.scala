@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -22,10 +23,10 @@ import graft.sources.Tables
   */
 object SurfaceQueries {
 
-  /** Per-sfdir scratch dir for format round trips (overwritten per run). */
-  private def scratch(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Per-sfdir, app-id-salted scratch dir for format round trips
+    * (shared scheme, see graft.tools.Scratch). */
+  private def scratch(s: SparkSession, kind: String, dir: String): String =
+    graft.tools.Scratch.dir(s, kind, dir)
 
   val queries: Map[String, QFn] = Map(
     // ---- struct build / field access / tuple comparison ----------------
@@ -74,7 +75,7 @@ object SurfaceQueries {
 
     // ---- CSV source round trip ------------------------------------------
     "source_csv_roundtrip" -> ((s, dir) => {
-      val out = scratch("csv", dir)
+      val out = scratch(s, "csv", dir)
       Tables.customer(s, dir)
         .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
         .coalesce(1)
@@ -87,7 +88,7 @@ object SurfaceQueries {
 
     // ---- JSON source round trip -------------------------------------------
     "source_json_roundtrip" -> ((s, dir) => {
-      val out = scratch("json", dir)
+      val out = scratch(s, "json", dir)
       Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .coalesce(1)
@@ -100,7 +101,7 @@ object SurfaceQueries {
 
     // ---- ORC source round trip ------------------------------------------
     "source_orc_roundtrip" -> ((s, dir) => {
-      val out = scratch("orc", dir)
+      val out = scratch(s, "orc", dir)
       Tables.nation(s, dir)
         .join(Tables.region(s, dir),
           col("n_regionkey") === col("r_regionkey"))
@@ -128,13 +129,13 @@ object SurfaceQueries {
       Tables.lineitem(s, dir)
         .select("l_orderkey", "l_extendedprice", "l_discount")
         .write.mode("overwrite")
-        .option("path", scratch("bktli", dir))
+        .option("path", scratch(s, "bktli", dir))
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .saveAsTable(tl)
       Tables.orders(s, dir)
         .select("o_orderkey", "o_orderdate")
         .write.mode("overwrite")
-        .option("path", scratch("bktord", dir))
+        .option("path", scratch(s, "bktord", dir))
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(to)
       s.table(tl).hint("merge")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -41,10 +42,10 @@ object WideSurfaceQueries {
     filter(split(col("text"), " "), t => t =!= "")
   private val duckToks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
-  /** Per-sfdir scratch dir for the XML round trip. */
-  private def scratch(dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_xml_" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_")
+  /** Per-sfdir, app-id-salted scratch dir for the XML round trip
+    * (shared scheme, see graft.tools.Scratch). */
+  private def scratch(s: SparkSession, dir: String): String =
+    graft.tools.Scratch.dir(s, "xml", dir)
 
   val queries: Map[String, QFn] = Map(
 
@@ -121,7 +122,7 @@ object WideSurfaceQueries {
 
     // ---- XML source round trip (built-in since Spark 4) -----------------
     "source_xml_roundtrip" -> ((s, dir) => {
-      val out = scratch(dir)
+      val out = scratch(s, dir)
       Tables.documents(s, dir)
         .select("doc_id", "lang", "source", "n_chars")
         .coalesce(1)

@@ -97,6 +97,20 @@ object ScaleDryRun {
         .groupBy("doc_id").agg(count(lit(1))).count()
     }
 
+    // PPJoin exact-verify near-dup at k× the corpus (r8 verdict item
+    // 3): same per-replica token bijection as dedupShape — intra-
+    // replica Jaccard preserved exactly, zero cross-replica shingle
+    // overlap, so true pairs AND rare-prefix candidates grow
+    // k-linearly by construction; the SHIPPED nearDupPairs pipeline,
+    // not a copy
+    def nearShape(k: Int): Long = {
+      val d = Seq.range(0, k).map(i => docs
+        .withColumn("doc_id", col("doc_id") * k + i)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1~r$i")))
+        .reduce(_ unionAll _)
+      graft.operators.LlmQueries.nearDupPairs(d).count()
+    }
+
     // context-window chunking at k× the corpus: map-only explode, must
     // track scan speed exactly (the shipped chunkTable, not a copy)
     def chunkShape(k: Int): Long = {
@@ -293,19 +307,23 @@ object ScaleDryRun {
       val t11 = time(paraShape(k))
       println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s  para=$t11%6.2f s")
     }
-    // one more doubling decade on the four headline columns (r7 verdict
-    // item 8): the 128 GiB sandbox holds the 19.2M-row 32× fact replay
+    // one more doubling decade on the headline columns (r7 verdict
+    // item 8 + r8 verdict item 3, which added the PPJoin near-dup
+    // column): the 128 GiB sandbox holds the 19.2M-row 32× fact replay
+    nearShape(1) // warm
     for (k <- Seq(1, 2, 4, 8, 16, 32)) {
       val td = time(dedupShape(k))
+      val tn = time(nearShape(k))
       val tr = time(rankShape(k))
       val ta = time(annShape(k))
       val tp = time(packShape(k))
-      println(f"[scale32] k=$k%2d  dedup=$td%6.2f s  rank=$tr%6.2f s  ann=$ta%6.2f s  pack=$tp%6.2f s")
+      println(f"[scale32] k=$k%2d  dedup=$td%6.2f s  near=$tn%6.2f s  rank=$tr%6.2f s  ann=$ta%6.2f s  pack=$tp%6.2f s")
     }
-    // Wasserstein-1 runningSums + step-join shape, 1×..8× (the newest
-    // GlobalRank consumer; distinct support grows k-linearly)
+    // Wasserstein-1 runningSums + step-join shape, 1×..32× (the newest
+    // GlobalRank consumer; distinct support grows k-linearly; extended
+    // 16×–32× per r8 verdict item 3)
     w1Shape(1) // warm
-    for (k <- Seq(1, 2, 4, 8)) {
+    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
       val tw = time(w1Shape(k))
       println(f"[w1] k=$k%2d  wasserstein=$tw%6.2f s")
     }

@@ -151,6 +151,34 @@ class GlobalRankSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("unhinted partitioned call with >AssumedGroupsNoHint groups raises") {
+    // r8 verdict item 5: the unhinted width derivation assumes <=2^10
+    // groups — past that the call must fail LOUD, not over-broadcast
+    val n = GlobalRank.AssumedGroupsNoHint + 8
+    val df = (0 until (2 * n)).map(i => (i.toLong, i % n, i / n))
+      .toDF("id", "grp", "k")
+    val e = intercept[IllegalArgumentException] {
+      GlobalRank.withSeqAndCount(df, "rn", "cnt", Seq("grp"),
+        Seq(col("k"), col("id"))).count()
+    }
+    assert(e.getMessage.contains("groupsHint"), e.getMessage)
+    // the runningSums builder shares the guard
+    val e2 = intercept[IllegalArgumentException] {
+      GlobalRank.withRunningSums(df, Seq((col("k"), "rs", "tot")),
+        Seq("grp"), Seq(col("k"), col("id"))).count()
+    }
+    assert(e2.getMessage.contains("groupsHint"), e2.getMessage)
+    // a HINTED call over the same >2^10-group frame is allowed and
+    // still matches the plain window
+    val w = Window.partitionBy("grp").orderBy("k", "id")
+    val want = rows(df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select("id", "rn"))
+    val got = GlobalRank.withSeqAndCount(df, "rn", "cnt", Seq("grp"),
+      Seq(col("k"), col("id")), groupsHint = n)
+    assert(rows(got.select("id", "rn")) == want)
+  }
+
   test("ntileFromSeq matches Spark's ntile for every bucket count") {
     for (n <- Seq(1, 4, 37, 200); b <- Seq(1, 3, 4, 10)) {
       val df = randDf(11L, n, 13)
