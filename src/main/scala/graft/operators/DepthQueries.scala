@@ -64,8 +64,16 @@ object DepthQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
           sum("term").as("s"))
+        // avg as an EXACT signed half-up 1e-4 integer (BoundaryGuard
+        // r9: s/n_bigrams with a 2-5-smooth bigram count terminates
+        // and lands exactly on 4dp half boundaries)
+        .withColumn("s6",
+          (col("s") * 1000000).cast(DecimalType(38, 0)).cast("long"))
         .select(col("doc_id"), col("n_bigrams"),
-          round(col("s").cast("double") / col("n_bigrams"), 4).as("avg_logp"))
+          (expr("CASE WHEN s6 >= 0 " +
+            "THEN (2 * s6 + 100 * n_bigrams) div (200 * n_bigrams) " +
+            "ELSE -((2 * (-s6) + 100 * n_bigrams) div (200 * n_bigrams)) END")
+            .cast("double") / 10000.0).as("avg_logp"))
         .orderBy("doc_id")
     }),
 
@@ -183,10 +191,16 @@ object DepthQueries {
         |ugc AS (SELECT w1, count(*) AS c1 FROM occ GROUP BY w1),
         |per AS (SELECT doc_id,
         |    CAST(round(log2(c2) - log2(c1), 6) AS DECIMAL(18,6)) AS term
-        |  FROM occ JOIN bgc USING (bg) JOIN ugc USING (w1))
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_logp
-        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM occ JOIN bgc USING (bg) JOIN ugc USING (w1)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(term) * 1000000 AS BIGINT) AS s6
+        |  FROM per GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(CASE WHEN s6 >= 0
+        |       THEN (2 * s6 + 100 * n_bigrams) // (200 * n_bigrams)
+        |       ELSE -((2 * (-s6) + 100 * n_bigrams) // (200 * n_bigrams)) END
+        |    AS DOUBLE) / 10000.0 AS avg_logp
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "source_partitioned_pruned" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -163,9 +163,15 @@ object FinalDepthQueries {
         .agg(count(lit(1)).as("n_tok"),
           sum(round(log(col("c") / col("nn")), 6).cast(DecimalType(18, 6)))
             .as("s_lp"))
+        // avg as an EXACT signed half-up 1e-4 integer (BoundaryGuard
+        // r9: s_lp/n_tok with a 2-5-smooth token count terminates and
+        // lands exactly on 4dp half boundaries)
+        .withColumn("s6",
+          (col("s_lp") * 1000000).cast(DecimalType(38, 0)).cast("long"))
         .select(col("doc_id"), col("n_tok"),
-          round(col("s_lp").cast(DoubleType) / col("n_tok"), 4)
-            .as("avg_logprob"))
+          (expr("CASE WHEN s6 >= 0 THEN (2 * s6 + 100 * n_tok) div (200 * n_tok) " +
+            "ELSE -((2 * (-s6) + 100 * n_tok) div (200 * n_tok)) END")
+            .cast(DoubleType) / 10000.0).as("avg_logprob"))
         .orderBy("doc_id")
     }),
 
@@ -292,9 +298,12 @@ object FinalDepthQueries {
       ex10.join(ann10.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
         .agg(countDistinct(col("a_id")).as("n_vecs"),
           count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hits"))
+        // recall as an EXACT half-up 1e-4 integer (BoundaryGuard r9:
+        // hits/(10·n_vecs) with a 2-5-smooth denominator terminates
+        // and lands exactly on 4dp half boundaries)
         .select(col("n_vecs"), col("n_hits"),
-          round(col("n_hits").cast(DoubleType) / col("n_pairs"), 4)
-            .as("recall_at_10"))
+          (expr("(2 * 10000 * n_hits + n_pairs) div (2 * n_pairs)")
+            .cast(DoubleType) / 10000.0).as("recall_at_10"))
     })
   )
 
@@ -374,12 +383,17 @@ object FinalDepthQueries {
         |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
         |  FROM documents),
         |tf AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-        |n AS (SELECT sum(c) AS nn FROM tf)
-        |SELECT doc_id, count(*) AS n_tok,
-        |  round(CAST(sum(CAST(round(ln(c / nn), 6) AS DECIMAL(18,6))) AS DOUBLE)
-        |        / count(*), 4) AS avg_logprob
-        |FROM tok JOIN tf USING (tok) CROSS JOIN n
-        |GROUP BY doc_id
+        |n AS (SELECT sum(c) AS nn FROM tf),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(CAST(round(ln(c / nn), 6) AS DECIMAL(18,6))) * 1000000
+        |      AS BIGINT) AS s6
+        |  FROM tok JOIN tf USING (tok) CROSS JOIN n
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tok,
+        |  CAST(CASE WHEN s6 >= 0 THEN (2 * s6 + 100 * n_tok) // (200 * n_tok)
+        |       ELSE -((2 * (-s6) + 100 * n_tok) // (200 * n_tok)) END
+        |    AS DOUBLE) / 10000.0 AS avg_logprob
+        |FROM agg
         |ORDER BY doc_id""".stripMargin,
 
     "llm_mi_lang_source" ->
@@ -461,7 +475,8 @@ object FinalDepthQueries {
         |  WHERE rk <= 10)
         |SELECT CAST(count(DISTINCT a_id) AS BIGINT) AS n_vecs,
         |  CAST(count(hit) AS BIGINT) AS n_hits,
-        |  round(count(hit) * 1.0 / count(*), 4) AS recall_at_10
+        |  CAST((2 * 10000 * count(hit) + count(*)) // (2 * count(*))
+        |    AS DOUBLE) / 10000.0 AS recall_at_10
         |FROM ex10 LEFT JOIN an10 USING (a_id, b_id)""".stripMargin)
   )
 }

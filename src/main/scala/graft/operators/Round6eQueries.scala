@@ -127,21 +127,29 @@ object Round6eQueries {
       val q = Tables.embeddings(s, dir)
         .select(posexplode(graft.functions.AnnCodebook.quantize(col("embedding"))))
         .select(col("pos").as("dim"), col("col").cast("long").as("qx"))
+      // mean and variance as EXACT half-up 1e-6 integers (BoundaryGuard
+      // r9: sq/n and (n·sqq−sq²)/(n²·1e6) with 2-5-smooth vector counts
+      // terminate and land exactly on 6dp half boundaries); decimal
+      // operands keep the moment products exact past sf100
       val byDim = q.groupBy("dim")
         .agg(count(lit(1)).as("n_vecs"), sum("qx").as("sq"),
           sum(col("qx") * col("qx")).as("sqq"))
-        .withColumn("mean", round(col("sq").cast(DoubleType) /
-          (col("n_vecs").cast(DoubleType) * 1000000.0), 6))
-        .withColumn("variance", round(
-          (col("n_vecs").cast(DoubleType) * col("sqq").cast(DoubleType) -
-            col("sq").cast(DoubleType) * col("sq").cast(DoubleType)) /
-            (col("n_vecs").cast(DoubleType) * col("n_vecs").cast(DoubleType) *
-              1000000.0 * 1000000.0), 6))
-      val tot = byDim.agg(sum(col("variance").cast(DecimalType(18, 6)))
-        .cast(DoubleType).as("var_total"))
+        .withColumn("m6", expr(
+          "CASE WHEN sq >= 0 THEN (2 * sq + n_vecs) div (2 * n_vecs) " +
+            "ELSE -((2 * (-sq) + n_vecs) div (2 * n_vecs)) END"))
+        .withColumn("num",
+          col("n_vecs").cast(DecimalType(38, 0)) * col("sqq")
+            - col("sq").cast(DecimalType(38, 0)) * col("sq"))
+        .withColumn("den",
+          col("n_vecs").cast(DecimalType(38, 0)) * col("n_vecs") * 1000000)
+        .withColumn("v6", expr("(2 * num + den) div (2 * den)"))
+      val tot = byDim.agg(sum("v6").as("vt6"))
       byDim.crossJoin(broadcast(tot))
-        .select(col("dim"), col("n_vecs"), col("mean"), col("variance"),
-          (col("variance") / col("var_total")).as("var_share"))
+        .select(col("dim"), col("n_vecs"),
+          (col("m6").cast(DoubleType) / 1000000.0).as("mean"),
+          (col("v6").cast(DoubleType) / 1000000.0).as("variance"),
+          (col("v6").cast(DoubleType) / col("vt6").cast(DoubleType))
+            .as("var_share"))
         .orderBy("dim")
     }),
 
@@ -235,16 +243,17 @@ object Round6eQueries {
       |    CAST(sum(qx) AS BIGINT) AS sq, CAST(sum(qx * qx) AS BIGINT) AS sqq
       |  FROM q GROUP BY dim),
       |bv AS (SELECT dim, n_vecs,
-      |    round(CAST(sq AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 1000000.0), 6)
-      |      AS mean,
-      |    round((CAST(n_vecs AS DOUBLE) * CAST(sqq AS DOUBLE)
-      |        - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
-      |      / (CAST(n_vecs AS DOUBLE) * CAST(n_vecs AS DOUBLE)
-      |        * 1000000.0 * 1000000.0), 6) AS variance
+      |    CASE WHEN sq >= 0 THEN (2 * sq + n_vecs) // (2 * n_vecs)
+      |         ELSE -((2 * (-sq) + n_vecs) // (2 * n_vecs)) END AS m6,
+      |    (2 * (CAST(n_vecs AS HUGEINT) * sqq - CAST(sq AS HUGEINT) * sq)
+      |      + CAST(n_vecs AS HUGEINT) * n_vecs * 1000000)
+      |     // (2 * CAST(n_vecs AS HUGEINT) * n_vecs * 1000000) AS v6
       |  FROM bd),
-      |tot AS (SELECT CAST(sum(CAST(variance AS DECIMAL(18,6))) AS DOUBLE)
-      |    AS var_total FROM bv)
-      |SELECT dim, n_vecs, mean, variance, variance / var_total AS var_share
+      |tot AS (SELECT sum(v6) AS vt6 FROM bv)
+      |SELECT dim, n_vecs,
+      |  CAST(m6 AS DOUBLE) / 1000000.0 AS mean,
+      |  CAST(v6 AS DOUBLE) / 1000000.0 AS variance,
+      |  CAST(v6 AS DOUBLE) / CAST(vt6 AS DOUBLE) AS var_share
       |FROM bv CROSS JOIN tot ORDER BY dim""".stripMargin,
 
     "stream_interval_join" -> """

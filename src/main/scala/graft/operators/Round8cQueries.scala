@@ -59,12 +59,25 @@ object Round8cQueries {
       val grp = byGV.join(ranked, col("v") === col("v2"))
         .groupBy("event_type")
         .agg(sum(col("cj") * col("r2")).as("s2"), sum("cj").as("nj"))
+      // term = s2²/(4·nj) as an EXACT half-up 1e-4 integer via a
+      // decimal-domain quotient/remainder split (BoundaryGuard r9:
+      // s2²/(4·nj) with a 2-5-smooth per-type count terminates and
+      // lands exactly on 4dp half boundaries). num % den is exact on
+      // decimals; (num − r)/den is an exact integer so the decimal
+      // division is representation-exact; the half-up div runs only on
+      // the small remainder (r·2e4 ≤ ~2e12, int64-safe at any SF), and
+      // q·1e4 + frac4 carries naturally when frac4 = 1e4. q stays
+      // inside decimal precision through ~sf1000.
       val tot = grp
-        .select(col("nj"),
-          round(d(col("s2")) * d(col("s2")) / (lit(4.0) * d(col("nj"))), 4)
-            .cast(DecimalType(38, 4)).as("term"))
+        .withColumn("num", col("s2").cast(DecimalType(38, 0)) * col("s2"))
+        .withColumn("den", col("nj") * 4)
+        .withColumn("r", expr("num % den"))
+        .withColumn("q", ((col("num") - col("r")) / col("den"))
+          .cast(DecimalType(38, 0)))
+        .withColumn("frac4", expr("(2 * 10000 * r + den) div (2 * den)"))
+        .select(col("nj"), (col("q") * 10000 + col("frac4")).as("term4"))
         .agg(sum("nj").as("n"), count(lit(1)).as("k"),
-          sum("term").cast(DoubleType).as("st"))
+          (sum(col("term4")).cast(DoubleType) / 1.0e4).as("st"))
       val ties = ranked
         .agg(sum(col("tcnt") * col("tcnt") * col("tcnt") - col("tcnt")).as("t"))
       tot.crossJoin(broadcast(ties))
@@ -185,11 +198,15 @@ object Round8cQueries {
       |grp AS (SELECT event_type, CAST(sum(cj * r2) AS BIGINT) AS s2,
       |    CAST(sum(cj) AS BIGINT) AS nj
       |  FROM bygv JOIN rk USING (v) GROUP BY event_type),
+      |t4 AS (SELECT nj,
+      |    (CAST(s2 AS HUGEINT) * s2) // (4 * nj) * 10000
+      |      + (2 * 10000 * ((CAST(s2 AS HUGEINT) * s2) % (4 * nj))
+      |         + 4 * nj) // (8 * nj) AS term4
+      |  FROM grp),
       |tot AS (SELECT CAST(sum(nj) AS BIGINT) AS n,
       |    CAST(count(*) AS BIGINT) AS k,
-      |    CAST(sum(CAST(round(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
-      |      / (4.0 * CAST(nj AS DOUBLE)), 4) AS DECIMAL(38,4))) AS DOUBLE) AS st
-      |  FROM grp),
+      |    CAST(sum(term4) AS DOUBLE) / 10000.0 AS st
+      |  FROM t4),
       |tie AS (SELECT CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS t FROM rk)
       |SELECT n, k, t AS tie_sum,
       |  round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)) * st
