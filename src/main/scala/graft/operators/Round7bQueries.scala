@@ -146,25 +146,27 @@ object Round7bQueries {
     // v_s = 1.25^s (the β^t factor cancels from the ratio, and s ≤ 31
     // keeps 1.25^s ≤ 1000 — no overflow). pow terms are round(·, 6/8)
     // then decimal-summed so the running sums are order-free.
+    // ZERO float links (r9 EWMA-family hardening, see EwmaWeights):
+    // exact integer decay weights, exact decimal window sums, ewma as
+    // one half-up micro-integer division — the old rounded
+    // x·pow(1.25, day) terms were systematically boundary-fragile and
+    // libm-drift-exposed past day 22 (the win_macd r8 failure mode).
     "win_ewma_daily" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val daily = Tables.events(s, dir)
         .groupBy(col("event_type"), dayofmonth(col("ts")).cast("long").as("day"))
         .agg(sum(col("value").cast(DecimalType(18, 6))).as("x"))
       def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
-      val wtd = daily.select(col("event_type"), col("day"), col("x"),
-        round(d(col("x")) * pow(lit(1.25), d(col("day"))), 6)
-          .cast(DecimalType(28, 6)).as("u"),
-        round(pow(lit(1.25), d(col("day"))), 8)
-          .cast(DecimalType(18, 8)).as("v"))
       val w = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      wtd
-        .withColumn("su", sum("u").over(w))
-        .withColumn("sv", sum("v").over(w))
+      daily
+        .withColumn("x6", (col("x") * 1000000).cast(DecimalType(38, 0)))
+        .join(broadcast(EwmaWeights.df(s)), "day")
+        .withColumn("nu", sum(col("x6") * col("w")).over(w))
+        .withColumn("de", sum(col("w")).over(w))
         .select(col("event_type"), col("day"),
           round(d(col("x")), 6).as("daily_sum"),
-          round(d(col("su")) / d(col("sv")), 6).as("ewma"))
+          (d(expr("(2 * nu + de) div (2 * de)")) / 1000000.0).as("ewma"))
         .orderBy("event_type", "day")
     }),
 
@@ -290,20 +292,20 @@ object Round7bQueries {
       |WHERE c12 >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
 
-    "win_ewma_daily" -> """
+    "win_ewma_daily" -> s"""
       |WITH daily AS (SELECT event_type, CAST(day(ts) AS BIGINT) AS day,
       |    sum(CAST(value AS DECIMAL(18,6))) AS x
       |  FROM events GROUP BY 1, 2),
-      |wtd AS (SELECT event_type, day, x,
-      |    CAST(round(CAST(x AS DOUBLE) * pow(1.25, CAST(day AS DOUBLE)), 6)
-      |      AS DECIMAL(28,6)) AS u,
-      |    CAST(round(pow(1.25, CAST(day AS DOUBLE)), 8) AS DECIMAL(18,8)) AS v
-      |  FROM daily)
+      |pw(day, w) AS (VALUES
+      |    ${EwmaWeights.valuesSql}),
+      |j AS (SELECT d.event_type, d.day, d.x,
+      |    CAST(d.x * 1000000 AS HUGEINT) * p.w AS xw, p.w
+      |  FROM daily d JOIN pw p USING (day))
       |SELECT event_type, day, round(CAST(x AS DOUBLE), 6) AS daily_sum,
-      |  round(CAST(sum(u) OVER w AS DOUBLE) / CAST(sum(v) OVER w AS DOUBLE), 6)
-      |    AS ewma
-      |FROM wtd
-      |WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |  CAST((2 * sum(xw) OVER wr + sum(w) OVER wr)
+      |    // (2 * sum(w) OVER wr) AS DOUBLE) / 1000000.0 AS ewma
+      |FROM j
+      |WINDOW wr AS (PARTITION BY event_type ORDER BY day
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY event_type, day""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -147,23 +147,33 @@ object Round8hQueries {
     // base 1.25 (u/v running-sum closed form, each stage's output
     // 6dp-rounded before feeding the next — the MACD discipline);
     // trix = 100·(e3 − lag(e3))/lag(e3).
+    // ZERO float links (r9 EWMA-family hardening, see EwmaWeights):
+    // each of the three smoothing passes is an exact-integer-weighted
+    // decimal window sum emitted as a half-up micro-integer division,
+    // and the trix rate-of-change is a signed half-up division of the
+    // exact integer images — the old rounded x·pow(1.25, day) terms
+    // were systematically boundary-fragile and libm-drift-exposed
+    // past day 22 (the win_macd r8 failure mode).
     "win_trix" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy("day")
       val wr = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      def ewma(src: Column): Column =
-        round(d(sum(round(src * pow(lit(1.25), d(col("day"))), 6)
-            .cast(DecimalType(28, 6))).over(wr)) /
-          d(sum(round(pow(lit(1.25), d(col("day"))), 8)
-            .cast(DecimalType(18, 8))).over(wr)), 6)
-      val e3 = dailyCenti(s, dir)
-        .withColumn("x", d(col("xc")) / 100.0)
-        .withColumn("e1", ewma(col("x")))
-        .withColumn("e2", ewma(col("e1")))
-        .withColumn("e3", ewma(col("e2")))
+      def pass(in: String, out: String)(df: DataFrame): DataFrame = df
+        .withColumn(s"${out}_n", sum(col(in) * col("w")).over(wr))
+        .withColumn(s"${out}_d", sum(col("w")).over(wr))
+        .withColumn(out, expr(s"(2 * ${out}_n + ${out}_d) div (2 * ${out}_d)"))
+      val base = dailyCenti(s, dir)
+        .join(broadcast(EwmaWeights.df(s)), "day")
+        .withColumn("x6", col("xc") * 10000)
+      val e3 = pass("e2", "e3")(pass("e1", "e2")(pass("x6", "e1")(base)))
       e3.withColumn("pe3", lag("e3", 1).over(w))
-        .select(col("event_type"), col("day"), col("e3"),
-          when(col("pe3").isNotNull,
-            round(lit(100.0) * (col("e3") - col("pe3")) / col("pe3"), 6))
+        .select(col("event_type"), col("day"),
+          (d(col("e3")) / 1000000.0).as("e3"),
+          when(col("pe3").isNotNull, d(expr(
+            "CASE WHEN e3 - pe3 >= 0 " +
+              "THEN (2 * 100000000 * CAST(e3 - pe3 AS DECIMAL(38,0)) + pe3) " +
+              "div (2 * pe3) " +
+              "ELSE -((2 * 100000000 * CAST(pe3 - e3 AS DECIMAL(38,0)) + pe3) " +
+              "div (2 * pe3)) END")) / 1000000.0)
             .as("trix"))
         .orderBy("event_type", "day")
     }))
@@ -229,31 +239,31 @@ object Round8hQueries {
 
     "win_trix" -> s"""
       |WITH $dailyCentiSql,
-      |s0 AS (SELECT event_type, day, CAST(xc AS DOUBLE) / 100.0 AS x
-      |  FROM daily),
-      |s1 AS (SELECT event_type, day, x,
-      |    round(CAST(sum(CAST(round(x * pow(1.25, CAST(day AS DOUBLE)), 6)
-      |        AS DECIMAL(28,6))) OVER w AS DOUBLE)
-      |      / CAST(sum(CAST(round(pow(1.25, CAST(day AS DOUBLE)), 8)
-      |        AS DECIMAL(18,8))) OVER w AS DOUBLE), 6) AS e1
-      |  FROM s0 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-      |s2 AS (SELECT event_type, day, e1,
-      |    round(CAST(sum(CAST(round(e1 * pow(1.25, CAST(day AS DOUBLE)), 6)
-      |        AS DECIMAL(28,6))) OVER w AS DOUBLE)
-      |      / CAST(sum(CAST(round(pow(1.25, CAST(day AS DOUBLE)), 8)
-      |        AS DECIMAL(18,8))) OVER w AS DOUBLE), 6) AS e2
-      |  FROM s1 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
-      |s3 AS (SELECT event_type, day, e2,
-      |    round(CAST(sum(CAST(round(e2 * pow(1.25, CAST(day AS DOUBLE)), 6)
-      |        AS DECIMAL(28,6))) OVER w AS DOUBLE)
-      |      / CAST(sum(CAST(round(pow(1.25, CAST(day AS DOUBLE)), 8)
-      |        AS DECIMAL(18,8))) OVER w AS DOUBLE), 6) AS e3
-      |  FROM s2 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+      |pw(day, w) AS (VALUES
+      |    ${EwmaWeights.valuesSql}),
+      |b AS (SELECT d.event_type, d.day, CAST(xc AS HUGEINT) * 10000 AS x6, p.w
+      |  FROM daily d JOIN pw p USING (day)),
+      |s1 AS (SELECT *, (2 * sum(x6 * w) OVER wr + sum(w) OVER wr)
+      |    // (2 * sum(w) OVER wr) AS e1
+      |  FROM b WINDOW wr AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s2 AS (SELECT *, (2 * sum(e1 * w) OVER wr + sum(w) OVER wr)
+      |    // (2 * sum(w) OVER wr) AS e2
+      |  FROM s1 WINDOW wr AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s3 AS (SELECT *, (2 * sum(e2 * w) OVER wr + sum(w) OVER wr)
+      |    // (2 * sum(w) OVER wr) AS e3
+      |  FROM s2 WINDOW wr AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       |f AS (SELECT event_type, day, e3,
       |    lag(e3, 1) OVER (PARTITION BY event_type ORDER BY day) AS pe3
       |  FROM s3)
-      |SELECT event_type, day, e3,
-      |  CASE WHEN pe3 IS NOT NULL
-      |       THEN round(100.0 * (e3 - pe3) / pe3, 6) END AS trix
+      |SELECT event_type, day, CAST(e3 AS DOUBLE) / 1000000.0 AS e3,
+      |  CASE WHEN pe3 IS NOT NULL THEN
+      |    CAST(CASE WHEN e3 - pe3 >= 0
+      |         THEN (2 * 100000000 * (e3 - pe3) + pe3) // (2 * pe3)
+      |         ELSE -((2 * 100000000 * (pe3 - e3) + pe3) // (2 * pe3)) END
+      |      AS DOUBLE) / 1000000.0
+      |  END AS trix
       |FROM f ORDER BY event_type, day""".stripMargin)
 }

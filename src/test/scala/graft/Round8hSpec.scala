@@ -113,33 +113,37 @@ class Round8hSpec extends AnyFunSuite {
       bars(got.keys.head._1).size - 19 || true))
   }
 
-  test("win_trix matches a driver triple-EWMA replay at sf0.001") {
-    def q(x: Double, s: Int): Double =
-      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+  test("win_trix matches an EXACT integer triple-EWMA replay at sf0.001") {
+    // replays the r9 exact-weight semantics bit-for-bit: micro-unit
+    // series, 5^d·4^(31−d) BigInt weights, half-up integer divisions
     val got = SparkEntry.queries("win_trix")(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
         (r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
       .toMap
-    for ((et, xs) <- daily) {
-      def chain(src: Seq[(Long, Double)]): Seq[(Long, Double)] = {
-        var su = BigDecimal(0); var sv = BigDecimal(0)
-        src.map { case (day, x) =>
-          su += BigDecimal(q(x * math.pow(1.25, day.toDouble), 6))
-          sv += BigDecimal(q(math.pow(1.25, day.toDouble), 8))
-          (day, q((su / sv).toDouble, 6))
-        }
+    val w31 = (1 to 31).map(d =>
+      d.toLong -> (BigInt(5).pow(d) * BigInt(4).pow(31 - d))).toMap
+    def halfUp(n: BigInt, d: BigInt): BigInt =
+      if (n.signum >= 0) (2 * n + d) / (2 * d)
+      else -((2 * (-n) + d) / (2 * d))
+    def chain(src: Seq[(Long, BigInt)]): Seq[(Long, BigInt)] = {
+      var nu = BigInt(0); var de = BigInt(0)
+      src.map { case (day, v6) =>
+        nu += v6 * w31(day); de += w31(day)
+        (day, halfUp(nu, de))
       }
-      // NOTE the replay divides BigDecimals where the engines divide
-      // doubles — equal to within an ulp, hence the 1e-5 tolerance
-      val e1 = chain(xs.map(x => (x._1, x._2.toDouble / 100.0)))
-      val e3 = chain(chain(e1))
-      for (((day, v), i) <- e3.zipWithIndex) {
+    }
+    for ((et, xs) <- daily) {
+      val x6 = xs.map(x => (x._1, BigInt(x._2) * 10000))
+      val e3 = chain(chain(chain(x6)))
+      for (((day, v6), i) <- e3.zipWithIndex) {
         val (ge3, gtrix) = got((et, day))
-        assert(math.abs(ge3 - v) <= 1e-5, s"$et d$day $ge3 vs $v")
+        assert(ge3 == v6.toDouble / 1e6, s"$et d$day $ge3 vs $v6")
         if (i == 0) assert(gtrix.isEmpty)
-        else assert(gtrix.isDefined &&
-          math.abs(gtrix.get - 100.0 * (ge3 - e3(i - 1)._2) / e3(i - 1)._2)
-            <= 1e-3)
+        else {
+          val p = e3(i - 1)._2
+          val want = halfUp(BigInt(100000000) * (v6 - p), p).toDouble / 1e6
+          assert(gtrix.contains(want), s"$et d$day ${gtrix} vs $want")
+        }
       }
     }
   }
