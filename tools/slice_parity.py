@@ -12,9 +12,10 @@ corpus — so those pairs must equal the brute-force oracle run on the
 sliced documents table exactly. 0 mismatches = the full-corpus sf0.1
 execution is verified on the feasible sub-square.
 
-Usage: python3 tools/slice_parity.py <sfDir> <verifyOutDir> <query> <mod>
+Usage: python3 tools/slice_parity.py <sfDir> <verifyOutDir> <query> <mod> [residue]
   (expects <verifyOutDir>/<query>/ parquet from a FULL-corpus graft.Verify
-   run and <verifyOutDir>/oracle_sql.json)
+   run and <verifyOutDir>/oracle_sql.json; sweep residue over 0..mod-1 to
+   verify every same-residue pair)
 """
 import sys, json
 from pathlib import Path
@@ -27,6 +28,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 def main():
     sf_dir, out_dir, query, mod = sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+    res = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     sql = json.loads(Path(out_dir, "oracle_sql.json").read_text())[query]
     con = duckdb.connect()
     for t in TABLES:
@@ -35,17 +37,17 @@ def main():
             continue
         if t == "documents":
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{p}' WHERE doc_id % {mod} = 0")
+                f"CREATE VIEW {t} AS SELECT * FROM '{p}' WHERE doc_id % {mod} = {res}")
         else:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     want = con.execute(sql).df()
     got = con.execute(
         f"SELECT * FROM '{Path(out_dir, query)}/*.parquet' "
-        f"WHERE doc_a % {mod} = 0 AND doc_b % {mod} = 0 "
+        f"WHERE doc_a % {mod} = {res} AND doc_b % {mod} = {res} "
         f"ORDER BY doc_a, doc_b").df()
     want = want.sort_values(list(want.columns)).reset_index(drop=True)
     got = got.sort_values(list(got.columns)).reset_index(drop=True)
-    print(f"[slice] query={query} mod={mod} "
+    print(f"[slice] query={query} mod={mod} residue={res} "
           f"slice_docs={con.execute('SELECT count(*) FROM documents').fetchone()[0]} "
           f"spark_pairs={len(got)} oracle_pairs={len(want)}")
     if list(got.columns) != list(want.columns):
