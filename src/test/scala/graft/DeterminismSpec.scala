@@ -88,7 +88,14 @@ class DeterminismSpec extends AnyFunSuite {
       "agg_emd_wasserstein", "llm_weighted_sample", "agg_abc_class",
       "agg_ansari_bradley", "agg_skew_kurtosis", "agg_bartlett",
       "llm_ann_mrr", "llm_ann_map", "agg_variance_ratio",
-      "llm_dale_chall")) {
+      "llm_dale_chall",
+      // round-9 boundary-determinism reworks: the new exact-integer
+      // explode-join / broadcast-weight-table shapes (win_macd's
+      // contribution join, the EwmaWeights family, the quotient-
+      // remainder splits) double-run to pin that the rewired plans
+      // carry no run-order sensitivity
+      "win_adx", "win_seasonal_decompose", "win_ewma_daily",
+      "agg_bootstrap_se", "llm_emb_dim_variance")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {
