@@ -58,7 +58,8 @@ object SparkEntry {
       Round8sQueries.queries ++ Round8tQueries.queries ++
       Round8uQueries.queries ++ Round8vQueries.queries ++
       Round8wQueries.queries ++ Round8xQueries.queries ++
-      Round8yQueries.queries ++ Round8zQueries.queries
+      Round8yQueries.queries ++ Round8zQueries.queries ++
+      Round9aQueries.queries ++ Round9bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -102,5 +103,6 @@ object SparkEntry {
       Round8sQueries.oracles ++ Round8tQueries.oracles ++
       Round8uQueries.oracles ++ Round8vQueries.oracles ++
       Round8wQueries.oracles ++ Round8xQueries.oracles ++
-      Round8yQueries.oracles ++ Round8zQueries.oracles
+      Round8yQueries.oracles ++ Round8zQueries.oracles ++
+      Round9aQueries.oracles ++ Round9bQueries.oracles
 }
