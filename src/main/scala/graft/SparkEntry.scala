@@ -59,7 +59,8 @@ object SparkEntry {
       Round8uQueries.queries ++ Round8vQueries.queries ++
       Round8wQueries.queries ++ Round8xQueries.queries ++
       Round8yQueries.queries ++ Round8zQueries.queries ++
-      Round9aQueries.queries ++ Round9bQueries.queries
+      Round9aQueries.queries ++ Round9bQueries.queries ++
+      Round9cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -104,5 +105,6 @@ object SparkEntry {
       Round8uQueries.oracles ++ Round8vQueries.oracles ++
       Round8wQueries.oracles ++ Round8xQueries.oracles ++
       Round8yQueries.oracles ++ Round8zQueries.oracles ++
-      Round9aQueries.oracles ++ Round9bQueries.oracles
+      Round9aQueries.oracles ++ Round9bQueries.oracles ++
+      Round9cQueries.oracles
 }

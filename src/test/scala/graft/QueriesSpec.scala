@@ -71,7 +71,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8uQueries.queries, Round8vQueries.queries,
       Round8wQueries.queries, Round8xQueries.queries,
       Round8yQueries.queries, Round8zQueries.queries,
-      Round9aQueries.queries, Round9bQueries.queries)
+      Round9aQueries.queries, Round9bQueries.queries,
+      Round9cQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
