@@ -163,7 +163,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // agg_mom_contribution: the ≤25-row nation list crossed with the
     // calendar-bounded month list to complete the grid (as
     // gen_sequence_dates)
-    "agg_mom_contribution")
+    "agg_mom_contribution",
+    // agg_kendall_w: the 1-row distinct-type count crossed into the
+    // calendar-bounded day list and the 1-row judge count crossed into
+    // the ≤5-row rank-sum table (as agg_friedman / agg_funnel)
+    "agg_kendall_w")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
