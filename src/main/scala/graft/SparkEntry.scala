@@ -60,7 +60,8 @@ object SparkEntry {
       Round8wQueries.queries ++ Round8xQueries.queries ++
       Round8yQueries.queries ++ Round8zQueries.queries ++
       Round9aQueries.queries ++ Round9bQueries.queries ++
-      Round9cQueries.queries ++ Round9dQueries.queries
+      Round9cQueries.queries ++ Round9dQueries.queries ++
+      Round9eQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,5 +107,6 @@ object SparkEntry {
       Round8wQueries.oracles ++ Round8xQueries.oracles ++
       Round8yQueries.oracles ++ Round8zQueries.oracles ++
       Round9aQueries.oracles ++ Round9bQueries.oracles ++
-      Round9cQueries.oracles ++ Round9dQueries.oracles
+      Round9cQueries.oracles ++ Round9dQueries.oracles ++
+      Round9eQueries.oracles
 }

@@ -167,7 +167,11 @@ class PlanGuardSpec extends AnyFunSuite {
     // agg_kendall_w: the 1-row distinct-type count crossed into the
     // calendar-bounded day list and the 1-row judge count crossed into
     // the ≤5-row rank-sum table (as agg_friedman / agg_funnel)
-    "agg_kendall_w")
+    "agg_kendall_w",
+    // llm_ann_dim_truncate / llm_emb_binary_recall / llm_emb_int8_recall:
+    // the 256-row eval slice broadcast against the corpus for the exact
+    // and quantized rankings (as llm_ann_recall10)
+    "llm_ann_dim_truncate", "llm_emb_binary_recall", "llm_emb_int8_recall")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
