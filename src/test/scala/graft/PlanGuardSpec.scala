@@ -171,7 +171,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // llm_ann_dim_truncate / llm_emb_binary_recall / llm_emb_int8_recall:
     // the 256-row eval slice broadcast against the corpus for the exact
     // and quantized rankings (as llm_ann_recall10)
-    "llm_ann_dim_truncate", "llm_emb_binary_recall", "llm_emb_int8_recall")
+    "llm_ann_dim_truncate", "llm_emb_binary_recall", "llm_emb_int8_recall",
+    // agg_discount_band_lift: the 1-row zero-band (q0, r0c) baseline
+    // crossed into the ≤11-row band table (as llm_bm25)
+    "agg_discount_band_lift")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
