@@ -61,7 +61,8 @@ object SparkEntry {
       Round8yQueries.queries ++ Round8zQueries.queries ++
       Round9aQueries.queries ++ Round9bQueries.queries ++
       Round9cQueries.queries ++ Round9dQueries.queries ++
-      Round9eQueries.queries ++ Round9fQueries.queries
+      Round9eQueries.queries ++ Round9fQueries.queries ++
+      Round9gQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -108,5 +109,6 @@ object SparkEntry {
       Round8yQueries.oracles ++ Round8zQueries.oracles ++
       Round9aQueries.oracles ++ Round9bQueries.oracles ++
       Round9cQueries.oracles ++ Round9dQueries.oracles ++
-      Round9eQueries.oracles ++ Round9fQueries.oracles
+      Round9eQueries.oracles ++ Round9fQueries.oracles ++
+      Round9gQueries.oracles
 }

@@ -174,7 +174,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "llm_ann_dim_truncate", "llm_emb_binary_recall", "llm_emb_int8_recall",
     // agg_discount_band_lift: the 1-row zero-band (q0, r0c) baseline
     // crossed into the ≤11-row band table (as llm_bm25)
-    "agg_discount_band_lift")
+    "agg_discount_band_lift",
+    // graph_hits: each normalization half-step crosses the 1-row
+    // max-mass scalar into the node score table (as graph_kcore)
+    "graph_hits")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

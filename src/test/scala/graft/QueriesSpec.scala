@@ -73,7 +73,8 @@ class QueriesSpec extends AnyFunSuite {
       Round8yQueries.queries, Round8zQueries.queries,
       Round9aQueries.queries, Round9bQueries.queries,
       Round9cQueries.queries, Round9dQueries.queries,
-      Round9eQueries.queries, Round9fQueries.queries)
+      Round9eQueries.queries, Round9fQueries.queries,
+      Round9gQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
