@@ -31,7 +31,7 @@ object Round9cQueries {
       s"ELSE -((2 * (-($num)) + ($den)) div (2 * ($den))) END")
 
   /** Per-event-type daily bars: high/low/close centi + volume. */
-  private def dailyBars(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def dailyBars(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("ts"),
         (col("value").cast(DecimalType(18, 6)) * 100)
@@ -46,7 +46,7 @@ object Round9cQueries {
         count(lit(1)).as("vol"))
   }
 
-  private val dailyBarsSql =
+  private[operators] val dailyBarsSql =
     """bars AS (SELECT event_type, day,
       |    max(xc) AS hc, min(xc) AS lc,
       |    max(CASE WHEN rd = 1 THEN xc END) AS cc,
