@@ -62,7 +62,8 @@ object SparkEntry {
       Round9aQueries.queries ++ Round9bQueries.queries ++
       Round9cQueries.queries ++ Round9dQueries.queries ++
       Round9eQueries.queries ++ Round9fQueries.queries ++
-      Round9gQueries.queries ++ Round9hQueries.queries
+      Round9gQueries.queries ++ Round9hQueries.queries ++
+      Round9iQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -110,5 +111,6 @@ object SparkEntry {
       Round9aQueries.oracles ++ Round9bQueries.oracles ++
       Round9cQueries.oracles ++ Round9dQueries.oracles ++
       Round9eQueries.oracles ++ Round9fQueries.oracles ++
-      Round9gQueries.oracles ++ Round9hQueries.oracles
+      Round9gQueries.oracles ++ Round9hQueries.oracles ++
+      Round9iQueries.oracles
 }

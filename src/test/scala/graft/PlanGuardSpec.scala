@@ -177,7 +177,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_discount_band_lift",
     // graph_hits: each normalization half-step crosses the 1-row
     // max-mass scalar into the node score table (as graph_kcore)
-    "graph_hits")
+    "graph_hits",
+    // agg_poisson_ztest: the ≤5-row event-type count table theta-joined
+    // with itself (type_a < type_b — a ≤10-pair catalog-bounded grid,
+    // as agg_tvd_lang)
+    "agg_poisson_ztest")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or

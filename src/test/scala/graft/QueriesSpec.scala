@@ -74,7 +74,8 @@ class QueriesSpec extends AnyFunSuite {
       Round9aQueries.queries, Round9bQueries.queries,
       Round9cQueries.queries, Round9dQueries.queries,
       Round9eQueries.queries, Round9fQueries.queries,
-      Round9gQueries.queries, Round9hQueries.queries)
+      Round9gQueries.queries, Round9hQueries.queries,
+      Round9iQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
