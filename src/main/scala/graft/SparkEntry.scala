@@ -63,7 +63,8 @@ object SparkEntry {
       Round9cQueries.queries ++ Round9dQueries.queries ++
       Round9eQueries.queries ++ Round9fQueries.queries ++
       Round9gQueries.queries ++ Round9hQueries.queries ++
-      Round9iQueries.queries ++ Round9jQueries.queries
+      Round9iQueries.queries ++ Round9jQueries.queries ++
+      Round9kQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -112,5 +113,6 @@ object SparkEntry {
       Round9cQueries.oracles ++ Round9dQueries.oracles ++
       Round9eQueries.oracles ++ Round9fQueries.oracles ++
       Round9gQueries.oracles ++ Round9hQueries.oracles ++
-      Round9iQueries.oracles ++ Round9jQueries.oracles
+      Round9iQueries.oracles ++ Round9jQueries.oracles ++
+      Round9kQueries.oracles
 }

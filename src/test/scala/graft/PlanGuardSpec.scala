@@ -181,7 +181,10 @@ class PlanGuardSpec extends AnyFunSuite {
     // agg_poisson_ztest: the ≤5-row event-type count table theta-joined
     // with itself (type_a < type_b — a ≤10-pair catalog-bounded grid,
     // as agg_tvd_lang)
-    "agg_poisson_ztest")
+    "agg_poisson_ztest",
+    // agg_benford_mad: the 1-row total scalar crossed into the 9-row
+    // fixed-expectation table (as agg_benford_second)
+    "agg_benford_mad")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
