@@ -184,7 +184,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_poisson_ztest",
     // agg_benford_mad: the 1-row total scalar crossed into the 9-row
     // fixed-expectation table (as agg_benford_second)
-    "agg_benford_mad")
+    "agg_benford_mad",
+    // agg_apportionment: the 1-row revenue total crossed into the
+    // ≤25-row nation aggregate (as tpch_q11)
+    "agg_apportionment")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
@@ -224,7 +227,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_holm_bonferroni" ->
       "Holm rank/step-down windows over the same 35-row hypothesis table",
     "agg_page_trend" ->
-      "alphabetical treatment index over the 5-row distinct-type table")
+      "alphabetical treatment index over the 5-row distinct-type table",
+    "agg_apportionment" ->
+      "floor-sum and remainder-rank windows over the <=25-row nation table")
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
