@@ -64,7 +64,8 @@ object SparkEntry {
       Round9eQueries.queries ++ Round9fQueries.queries ++
       Round9gQueries.queries ++ Round9hQueries.queries ++
       Round9iQueries.queries ++ Round9jQueries.queries ++
-      Round9kQueries.queries ++ Round9lQueries.queries
+      Round9kQueries.queries ++ Round9lQueries.queries ++
+      Round9mQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -114,5 +115,6 @@ object SparkEntry {
       Round9eQueries.oracles ++ Round9fQueries.oracles ++
       Round9gQueries.oracles ++ Round9hQueries.oracles ++
       Round9iQueries.oracles ++ Round9jQueries.oracles ++
-      Round9kQueries.oracles ++ Round9lQueries.oracles
+      Round9kQueries.oracles ++ Round9lQueries.oracles ++
+      Round9mQueries.oracles
 }

@@ -30,18 +30,22 @@ object Round9jQueries {
     // of each doc-third (start/middle/end) owned by each top token —
     // boilerplate headers/footers show up as start/end spikes.
     "llm_positional_bias" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(posexplode(filter(split(col("text"), " "), t => t =!= ""))
-          .as(Seq("pos", "tok")),
-          size(filter(split(col("text"), " "), t => t =!= "")).as("len"))
-        .withColumn("bucket", expr("(3 * pos) div len"))
-      val top5 = toks.groupBy("tok").agg(count(lit(1)).as("nt"))
+      // aggregate the corpus-sized token stream ONCE; every further
+      // branch (top-5, bucket totals, shares) reads the vocab·3-row
+      // materialization instead of re-tokenizing the corpus
+      val g = graft.tools.Materialize.eager("posbias.g",
+        Tables.documents(s, dir)
+          .select(posexplode(filter(split(col("text"), " "), t => t =!= ""))
+            .as(Seq("pos", "tok")),
+            size(filter(split(col("text"), " "), t => t =!= "")).as("len"))
+          .withColumn("bucket", expr("(3 * pos) div len"))
+          .groupBy("tok", "bucket").agg(count(lit(1)).as("n")))
+      val top5 = g.groupBy("tok").agg(sum("n").cast("long").as("nt"))
         .orderBy(col("nt").desc, col("tok").asc).limit(5)
         .select("tok")
-      val bucketTotals = toks.groupBy("bucket")
-        .agg(count(lit(1)).as("nb"))
-      toks.join(broadcast(top5), Seq("tok"))
-        .groupBy("tok", "bucket").agg(count(lit(1)).as("n"))
+      val bucketTotals = g.groupBy("bucket")
+        .agg(sum("n").cast("long").as("nb"))
+      g.join(broadcast(top5), Seq("tok"))
         .join(broadcast(bucketTotals), Seq("bucket"))
         .select(col("tok"), col("bucket"), col("n"),
           round(d(col("n")) / d(col("nb")), 6).as("bucket_share"))
