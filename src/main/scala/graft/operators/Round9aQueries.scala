@@ -34,10 +34,11 @@ object Round9aQueries {
   /** Per-returnflag ordinal pair ledger from the (quantity, discount-
     * centi) contingency cells: n rows, distinct level counts, and the
     * concordant / discordant / tied-x-only / tied-y-only / both-tied
-    * unordered pair counts as exact DECIMAL(38,0).
+    * unordered pair counts as exact DECIMAL(38,0). Frame-parametric
+    * so ScaleDryRun measures the SHIPPED pipeline.
     */
-  private def ordinalPairs(s: SparkSession, dir: String): DataFrame = {
-    val cells = Tables.lineitem(s, dir)
+  private[graft] def ordinalPairsOf(li: DataFrame): DataFrame = {
+    val cells = li
       .select(col("l_returnflag").as("flag"),
         col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("x"),
         (col("l_discount").cast(DecimalType(18, 2)) * 100)
@@ -71,6 +72,9 @@ object Round9aQueries {
         coalesce(col("c0"), z).as("c"), coalesce(col("d0"), z).as("dd"),
         coalesce(col("tx0"), z).as("tx"), coalesce(col("ty0"), z).as("ty"))
   }
+
+  private def ordinalPairs(s: SparkSession, dir: String): DataFrame =
+    ordinalPairsOf(Tables.lineitem(s, dir))
 
   /** Shared oracle CTE mirroring [[ordinalPairs]] (DuckDB). */
   private val ordinalSql =

@@ -31,14 +31,36 @@ object Round9eQueries {
 
   private def d(c: Column): Column = c.cast(DoubleType)
 
-  /** Corpus with norms + the 256-query sample side. */
-  private def base(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables.embeddings(s, dir)
+  /** Corpus with norms + the 256-query sample side (frame-parametric
+    * so ScaleDryRun measures the shipped pipeline). */
+  private[graft] def baseOf(raw: DataFrame): (DataFrame, DataFrame) = {
+    val e = raw
       .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
     val aS = e.select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
       col("nrm").as("a_n"))
       .join(broadcast(AnnCodebook.hashSample(e, 256)), Seq("a_id"))
     (e, aS)
+  }
+
+  private def base(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    baseOf(Tables.embeddings(s, dir))
+
+  /** The dim-truncation overlap pipeline on an arbitrary corpus frame
+    * (llm_ann_dim_truncate = this over Tables.embeddings). */
+  private[graft] def truncOverlapOf(raw: DataFrame): DataFrame = {
+    val (e, aS) = baseOf(raw)
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+      col("nrm").as("b_n"),
+      vecNorm(slice(col("embedding"), 1, 32)).as("b_n32"))
+    val pairs = b.crossJoin(broadcast(
+        aS.withColumn("a_n32", vecNorm(slice(col("a_v"), 1, 32)))))
+      .where(col("a_id") =!= col("b_id"))
+    val ex10 = top10(pairs,
+      vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
+    val tr10 = top10(pairs,
+      vecDot(slice(col("a_v"), 1, 32), slice(col("b_v"), 1, 32))
+        / (col("a_n32") * col("b_n32")))
+    recallOf(ex10, tr10, "overlap_at_10")
   }
 
   private def top10(pairs: DataFrame, score: Column): DataFrame = pairs
@@ -95,21 +117,8 @@ object Round9eQueries {
     // Top-10 by cosine over the FIRST 32 of 64 dims vs the full-dim
     // exact top-10 — the truncate-don't-retrain retrieval eval. Both
     // rankings run over the same 256·n pair set.
-    "llm_ann_dim_truncate" -> ((s, dir) => {
-      val (e, aS) = base(s, dir)
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
-        col("nrm").as("b_n"),
-        vecNorm(slice(col("embedding"), 1, 32)).as("b_n32"))
-      val pairs = b.crossJoin(broadcast(
-          aS.withColumn("a_n32", vecNorm(slice(col("a_v"), 1, 32)))))
-        .where(col("a_id") =!= col("b_id"))
-      val ex10 = top10(pairs,
-        vecDot(col("a_v"), col("b_v")) / (col("a_n") * col("b_n")))
-      val tr10 = top10(pairs,
-        vecDot(slice(col("a_v"), 1, 32), slice(col("b_v"), 1, 32))
-          / (col("a_n32") * col("b_n32")))
-      recallOf(ex10, tr10, "overlap_at_10")
-    }),
+    "llm_ann_dim_truncate" -> ((s, dir) =>
+      truncOverlapOf(Tables.embeddings(s, dir))),
 
     // ---- 1-bit sign-quantization recall -------------------------------------------
     // Candidates ranked by Hamming distance of the 64 sign bits

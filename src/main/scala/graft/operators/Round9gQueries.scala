@@ -40,6 +40,30 @@ object Round9gQueries {
       .distinct()
   }
 
+  /** Two full HITS iterations over an arbitrary (c, sp) edge frame:
+    * integer micro-unit mass, max-normalized per half-step, each round
+    * eagerly materialized (frame-parametric so ScaleDryRun measures
+    * the shipped pipeline). Returns the (sp, a) authority table. */
+  private[graft] def hitsAuthOf(edges: DataFrame): DataFrame = {
+    val e = graft.tools.Materialize.eager("hits.edges", edges)
+    def normalized(m: DataFrame, key: String, v: String): DataFrame = {
+      val mx = m.agg(max(col(v)).as("mx"))
+      m.crossJoin(broadcast(mx))
+        .select(col(key),
+          expr(s"CAST($v AS DECIMAL(38,0)) * 1000000 div mx")
+            .cast("long").as(v))
+    }
+    val hub0 = e.select(col("c")).distinct()
+      .withColumn("h", lit(1000000L))
+    def authStep(hub: DataFrame, tag: String): DataFrame =
+      graft.tools.Materialize.eager(s"hits.a$tag", normalized(
+        e.join(hub, "c").groupBy("sp").agg(sum("h").as("a")), "sp", "a"))
+    def hubStep(auth: DataFrame, tag: String): DataFrame =
+      graft.tools.Materialize.eager(s"hits.h$tag", normalized(
+        e.join(auth, "sp").groupBy("c").agg(sum("a").as("h")), "c", "h"))
+    authStep(hubStep(authStep(hub0, "1"), "1"), "2")
+  }
+
   private val buyEdgesSql =
     """o AS (SELECT o_orderkey, o_custkey FROM orders
       |  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
@@ -55,27 +79,10 @@ object Round9gQueries {
     // is max-normalized back to 1e6 integer units (a DECIMAL(38)
     // product + integer div — HITS' usual L2 norm would drag a sqrt
     // into every round). Authorities = supplier scores.
-    "graph_hits" -> ((s, dir) => {
-      val e = graft.tools.Materialize.eager("hits.edges", buyEdges(s, dir))
-      def normalized(m: DataFrame, key: String, v: String): DataFrame = {
-        val mx = m.agg(max(col(v)).as("mx"))
-        m.crossJoin(broadcast(mx))
-          .select(col(key),
-            expr(s"CAST($v AS DECIMAL(38,0)) * 1000000 div mx")
-              .cast("long").as(v))
-      }
-      val hub0 = e.select(col("c")).distinct()
-        .withColumn("h", lit(1000000L))
-      def authStep(hub: DataFrame, tag: String): DataFrame =
-        graft.tools.Materialize.eager(s"hits.a$tag", normalized(
-          e.join(hub, "c").groupBy("sp").agg(sum("h").as("a")), "sp", "a"))
-      def hubStep(auth: DataFrame, tag: String): DataFrame =
-        graft.tools.Materialize.eager(s"hits.h$tag", normalized(
-          e.join(auth, "sp").groupBy("c").agg(sum("a").as("h")), "c", "h"))
-      val a2 = authStep(hubStep(authStep(hub0, "1"), "1"), "2")
-      a2.select(col("sp").as("s_suppkey"), col("a").as("auth_units"))
-        .orderBy("s_suppkey")
-    }),
+    "graph_hits" -> ((s, dir) =>
+      hitsAuthOf(buyEdges(s, dir))
+        .select(col("sp").as("s_suppkey"), col("a").as("auth_units"))
+        .orderBy("s_suppkey")),
 
     // ---- two-hop reach amplification ------------------------------------------------
     // Per supplier-graph node: direct degree, the distinct ≤2-hop

@@ -327,6 +327,48 @@ object ScaleDryRun {
       val tw = time(w1Shape(k))
       println(f"[w1] k=$k%2d  wasserstein=$tw%6.2f s")
     }
+    // ---- round-9 shapes, 1×..8× ----------------------------------------
+    // ordinal pair ledger (agg_gk_gamma family): the contingency CELLS
+    // are catalog-bounded (≤50×11 per flag) at ANY k, so the cell-pair
+    // self-join is constant work and wall time must track scan volume
+    def ordShape(k: Int): Long =
+      graft.operators.Round9aQueries.ordinalPairsOf(rep(li, k)).count()
+    // Matryoshka truncation eval: the exact side pairs the corpus only
+    // against the constant 256-sample, so pair volume is 256·n — must
+    // grow k-linearly (disjoint vec_ids per replica)
+    def truncShape(k: Int): Long = {
+      val e0 = Seq.range(0, k).map(i => emb
+        .withColumn("vec_id", col("vec_id") * k + i))
+        .reduce(_ unionAll _)
+      graft.operators.Round9eQueries.truncOverlapOf(e0).count()
+    }
+    // bipartite HITS: disjoint customer/supplier id spaces per replica
+    // keep per-node degrees constant — each of the 4 half-steps is one
+    // keyed join + aggregate, so wall time must track edge volume
+    def hitsShape(k: Int): Long = {
+      val o = Seq.range(0, k).map(i => orders
+        .withColumn("o_custkey", col("o_custkey") * k + i)
+        .withColumn("o_orderkey", col("o_orderkey") * k + i))
+        .reduce(_ unionAll _)
+        .where(col("o_orderdate") >= lit("1997-03-01").cast("timestamp_ntz")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp_ntz"))
+        .select("o_orderkey", "o_custkey")
+      val l = Seq.range(0, k).map(i => li
+        .withColumn("l_orderkey", col("l_orderkey") * k + i)
+        .withColumn("l_suppkey", col("l_suppkey") * k + i))
+        .reduce(_ unionAll _)
+      val e = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+      graft.operators.Round9gQueries.hitsAuthOf(e).count()
+    }
+    ordShape(1); truncShape(1); hitsShape(1) // warm
+    for (k <- Seq(1, 2, 4, 8)) {
+      val to = time(ordShape(k))
+      val tt = time(truncShape(k))
+      val th = time(hitsShape(k))
+      println(f"[scale_r9] k=$k%2d  ordinal=$to%6.2f s  trunc256=$tt%6.2f s  hits=$th%6.2f s")
+    }
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
     for (k <- Seq(8)) {
