@@ -101,7 +101,21 @@ object PlanAudit {
       "agg_ansari_bradley", "agg_jonckheere", "win_adx", "win_mfi",
       "graph_triangle_participation", "llm_ann_mrr", "llm_msttr",
       "agg_session_dist", "join_cosupplier_pairs", "source_json_nested",
-      "agg_mom_contribution")
+      "agg_mom_contribution",
+      // round-9 surface waves: cell-pair ordinal ledger, GlobalRank
+      // frequency/degree ranks + runsum Pareto prefix, 256-sample
+      // quantization evals, integer HITS rounds, middle-node-keyed
+      // reach, the once-materialized positional-bias aggregate, the
+      // explode-contribution technical indicators, interval-union
+      // islands and the SCD snapshot diff
+      "agg_gk_gamma", "agg_kendall_w", "llm_token_gini",
+      "llm_mean_word_rank", "graph_degree_gini", "agg_pareto_8020",
+      "llm_ann_dim_truncate", "llm_emb_binary_recall",
+      "llm_emb_int8_recall", "graph_hits", "graph_two_hop_reach",
+      "graph_edge_embeddedness", "win_keltner", "win_coppock",
+      "agg_kde_grid", "llm_positional_bias", "win_interval_union",
+      "join_snapshot_diff", "agg_h_index", "agg_apportionment",
+      "win_ichimoku", "agg_pacf2")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the

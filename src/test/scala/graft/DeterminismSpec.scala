@@ -95,7 +95,15 @@ class DeterminismSpec extends AnyFunSuite {
       // remainder splits) double-run to pin that the rewired plans
       // carry no run-order sensitivity
       "win_adx", "win_seasonal_decompose", "win_ewma_daily",
-      "agg_bootstrap_se", "llm_emb_dim_variance")) {
+      "agg_bootstrap_se", "llm_emb_dim_variance",
+      // round-9 surface waves: the new GlobalRank consumers (frequency
+      // ranks, degree ranks, runsum Pareto prefix) double-run at the SF
+      // where range boundaries actually sample; the 256-sample rank-
+      // boundary evals, the ordinal double-cast chains and the
+      // quantized-ln ledgers ride along
+      "llm_token_gini", "llm_mean_word_rank", "graph_degree_gini",
+      "agg_pareto_8020", "llm_ann_dim_truncate", "llm_emb_int8_recall",
+      "agg_gk_gamma", "agg_log_return_vol", "agg_markov_entropy_rate")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

@@ -187,7 +187,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_benford_mad",
     // agg_apportionment: the 1-row revenue total crossed into the
     // ≤25-row nation aggregate (as tpch_q11)
-    "agg_apportionment")
+    "agg_apportionment",
+    // agg_gini_decomp: the 1-row within/between numerators crossed into
+    // the 1-row total ledger, plus the ≤25×25 nation marginal grid (as
+    // agg_tvd_lang); agg_lorenz_asymmetry: the 1-row (n, S) totals
+    // broadcast into the per-customer rows (as agg_hoover_index)
+    "agg_gini_decomp", "agg_lorenz_asymmetry")
 
   /** Queries allowed to plan a WindowExec with an EMPTY partition spec —
     * each one's window input is CATALOG-BOUNDED (a grouped aggregate or
