@@ -65,7 +65,8 @@ object SparkEntry {
       Round9gQueries.queries ++ Round9hQueries.queries ++
       Round9iQueries.queries ++ Round9jQueries.queries ++
       Round9kQueries.queries ++ Round9lQueries.queries ++
-      Round9mQueries.queries ++ Round9nQueries.queries
+      Round9mQueries.queries ++ Round9nQueries.queries ++
+      Round9oQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -116,5 +117,6 @@ object SparkEntry {
       Round9gQueries.oracles ++ Round9hQueries.oracles ++
       Round9iQueries.oracles ++ Round9jQueries.oracles ++
       Round9kQueries.oracles ++ Round9lQueries.oracles ++
-      Round9mQueries.oracles ++ Round9nQueries.oracles
+      Round9mQueries.oracles ++ Round9nQueries.oracles ++
+      Round9oQueries.oracles
 }

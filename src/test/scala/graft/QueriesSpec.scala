@@ -77,7 +77,8 @@ class QueriesSpec extends AnyFunSuite {
       Round9gQueries.queries, Round9hQueries.queries,
       Round9iQueries.queries, Round9jQueries.queries,
       Round9kQueries.queries, Round9lQueries.queries,
-      Round9mQueries.queries, Round9nQueries.queries)
+      Round9mQueries.queries, Round9nQueries.queries,
+      Round9oQueries.queries)
     assert(cats.map(_.size).sum == SparkEntry.queries.size,
       "duplicate query name across category objects")
   }
