@@ -109,14 +109,18 @@ object Round9fQueries {
       GlobalRank.withRunningSums(rev,
           Seq((col("revc"), "crun", "ctot")), Seq.empty,
           Seq(col("revc").desc, col("o_custkey").asc))
-        // a customer is in the cut iff the prefix BEFORE it is < 80%
+        // a customer is in the cut iff the prefix BEFORE it is < 80%.
+        // The cross-multiply runs in DECIMAL(38,0): at the 100 TB
+        // target ctot reaches ~2.3e18 centi, so 5·crun would silently
+        // wrap a Long (non-ANSI) and corrupt the cut.
         .select(col("revc"), col("crun"), col("ctot"),
-          when(lit(5) * (col("crun") - col("revc"))
-            < lit(4) * col("ctot"), 1L).otherwise(0L).as("needed"))
+          (lit(5) * (col("crun").cast(DecimalType(38, 0))
+            - col("revc").cast(DecimalType(38, 0)))).as("lhs5"),
+          (lit(4) * col("ctot").cast(DecimalType(38, 0))).as("rhs4"))
+        .select(col("revc"), col("crun"), col("ctot"),
+          when(col("lhs5") < col("rhs4"), 1L).otherwise(0L).as("needed"))
         .agg(count(lit(1)).as("n_customers"), sum("needed").as("n_top"),
-          max(when(lit(5) * (col("crun") - col("revc"))
-              < lit(4) * col("ctot"),
-            col("crun"))).as("cov"),
+          max(when(col("needed") === 1L, col("crun"))).as("cov"),
           max("ctot").as("tot"))
         .select(col("n_customers"), col("n_top"),
           round(d(col("n_top")) / d(col("n_customers")), 6).as("top_share"),

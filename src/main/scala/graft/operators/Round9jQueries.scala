@@ -110,16 +110,16 @@ object Round9jQueries {
           col("l_quantity").cast(DecimalType(18, 0)).cast("long").as("x"),
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast(DecimalType(18, 0)).cast("long").as("y"))
-      def medOf(v: String): DataFrame = {
-        val w = Window.partitionBy("flag")
-          .orderBy(col(v).asc, col("l_orderkey").asc, col("l_linenumber").asc)
-        val wn = Window.partitionBy("flag")
-        li.withColumn("rn", row_number().over(w).cast("long"))
-          .withColumn("nn", count(lit(1)).over(wn))
+      // raw lineitem through a 3-group window would pin parallelism at
+      // 3 single-task partitions — rank via GlobalRank instead (the
+      // agg_mannwhitney shape), every stage distributed.
+      def medOf(v: String): DataFrame =
+        GlobalRank.withSeqAndCount(li, "rn", "nn", Seq("flag"),
+          Seq(col(v).asc, col("l_orderkey").asc, col("l_linenumber").asc),
+          groupsHint = 3)
           .groupBy("flag")
           .agg(max(when(col("rn") === expr("(nn + 1) DIV 2"), col(v)))
             .as(s"m$v"))
-      }
       li.join(broadcast(medOf("x")), Seq("flag"))
         .join(broadcast(medOf("y")), Seq("flag"))
         .where(col("x") =!= col("mx") && col("y") =!= col("my"))

@@ -99,15 +99,16 @@ object Round9kQueries {
         .groupBy("l_partkey")
         .agg(min("up4").as("mn"), max("up4").as("mx"))
         .withColumn("sp6", expr("(2 * 1000000 * (mx - mn) + mn) div (2 * mn)"))
-      val w = Window.partitionBy("p_brand")
-        .orderBy(col("sp6").asc, col("l_partkey").asc)
-      val wn = Window.partitionBy("p_brand")
-      spread
-        .join(broadcast(Tables.part(s, dir)
-          .select(col("p_partkey"), col("p_brand"))),
-          col("l_partkey") === col("p_partkey"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("np", count(lit(1)).over(wn))
+      // the spread table is catalog-keyed (one row per part — grows
+      // with sf) and p_brand has 25 values, so a plain partitioned
+      // window would funnel it through 25 single-task groups — rank
+      // via GlobalRank instead, every stage distributed.
+      GlobalRank.withSeqAndCount(
+        spread.join(broadcast(Tables.part(s, dir)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey")),
+        "rn", "np", Seq("p_brand"),
+        Seq(col("sp6").asc, col("l_partkey").asc), groupsHint = 25)
         .groupBy("p_brand")
         .agg(max("np").as("n_parts"),
           max(when(col("rn") === expr("(np + 1) DIV 2"), col("sp6")))

@@ -32,7 +32,11 @@ object Round9mQueries {
     // Strings carrying the delimiter, the quote char AND a newline
     // survive a CSV write+multiLine read — the quoting/escaping path
     // source_csv_roundtrip never exercises. Oracle replays the
-    // construction straight from parquet.
+    // construction straight from parquet. The price is written/read
+    // as decimal(18,2) text (the codec under test) but EMITTED as an
+    // exact centi long — r9's driver run proved decimal output
+    // columns hash differently at the driver even when every cell is
+    // exact (QueriesSpec "output dtype envelope" gates the class).
     "source_csv_quoted" -> ((s, dir) => {
       val path = graft.tools.Scratch.dir(s, "csvq", dir)
       Tables.part(s, dir)
@@ -42,6 +46,8 @@ object Round9mQueries {
       s.read.option("header", "true").option("multiLine", "true")
         .schema("p_partkey long, tricky string, price decimal(18,2)")
         .csv(path)
+        .select(col("p_partkey"), col("tricky"),
+          (col("price") * 100).cast("long").as("price_c"))
         .orderBy("p_partkey")
     }),
 
@@ -123,7 +129,8 @@ object Round9mQueries {
     "source_csv_quoted" -> """
       |SELECT p_partkey,
       |  p_name || ', "' || p_brand || '"' || chr(10) || 'L2' AS tricky,
-      |  CAST(p_retailprice AS DECIMAL(18,2)) AS price
+      |  CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS price_c
       |FROM part ORDER BY p_partkey""".stripMargin,
 
     "win_ichimoku" -> s"""

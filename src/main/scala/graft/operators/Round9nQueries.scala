@@ -107,6 +107,11 @@ object Round9nQueries {
     // from_csv and emit the parsed struct fields — the scalar CSV
     // codec surface (the file-level sibling is source_csv_quoted).
     // Oracle replays the construction straight from the base columns.
+    // The price is parsed as decimal(18,2) (the codec under test) but
+    // EMITTED as an exact centi long: r9's driver run proved decimal
+    // output columns hash differently at the driver even when every
+    // cell is exact, so the output edge stays inside the proven dtype
+    // envelope (QueriesSpec "output dtype envelope" gates the class).
     "fn_from_csv" -> ((s, dir) =>
       Tables.orders(s, dir)
         .select(col("o_orderkey"),
@@ -118,7 +123,8 @@ object Round9nQueries {
               "k long, st string, tp decimal(18,2)"),
             Map.empty[String, String]).as("p"))
         .select(col("o_orderkey"), col("p.k").as("parsed_key"),
-          col("p.st").as("parsed_status"), col("p.tp").as("parsed_price"))
+          col("p.st").as("parsed_status"),
+          (col("p.tp") * 100).cast("long").as("parsed_price_c"))
         .orderBy("o_orderkey")),
 
     // ---- Elder-ray bull/bear power ------------------------------------------------------
@@ -170,7 +176,7 @@ object Round9nQueries {
       |m AS (SELECT c_nationkey, CAST(count(*) AS HUGEINT) AS ni,
       |    sum(CAST(revc AS HUGEINT)) AS si
       |  FROM rev GROUP BY 1),
-      |gb AS (SELECT sum(abs(a.si * b.ni - b.si * a.ni)) / 2 AS num_b2
+      |gb AS (SELECT sum(abs(a.si * b.ni - b.si * a.ni)) // 2 AS num_b2
       |  FROM m a JOIN m b ON a.c_nationkey <> b.c_nationkey)
       |SELECT gt.n,
       |  round(CAST(gt.num_t AS DOUBLE)
@@ -208,7 +214,8 @@ object Round9nQueries {
     "fn_from_csv" -> """
       |SELECT o_orderkey, o_orderkey AS parsed_key,
       |  o_orderstatus AS parsed_status,
-      |  CAST(o_totalprice AS DECIMAL(18,2)) AS parsed_price
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS parsed_price_c
       |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "win_elder_ray" -> s"""

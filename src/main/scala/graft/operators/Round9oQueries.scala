@@ -101,7 +101,8 @@ object Round9oQueries {
     // exact-ratio double both engines produce, so banding is
     // deterministic. Composes the memoized pair artifact.
     "llm_jaccard_hist" -> ((s, dir) => {
-      val pairs = LlmQueries.nearDupPairs(Tables.documents(s, dir))
+      val pairs = graft.tools.PairArtifacts.of(s, dir, "near")(
+        LlmQueries.queries("llm_dedup_near")(s, dir))
       val bin = when(col("jaccard") >= 0.95, "0.95+")
         .when(col("jaccard") >= 0.90, "0.90")
         .when(col("jaccard") >= 0.85, "0.85")

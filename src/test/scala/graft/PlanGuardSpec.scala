@@ -256,6 +256,120 @@ class PlanGuardSpec extends AnyFunSuite {
   private def isGlobalRankOffsets(w: WindowExec): Boolean =
     w.orderSpec.exists(_.references.exists(_.name == "__gr_pid"))
 
+  // ---- catalog-tiny PARTITIONED windows (r9 verdict item 4) -------------
+  // The empty-partition guard above bans single-task global windows, but
+  // a window partitioned by a CATALOG-FIXED key (3 return flags, 5 event
+  // types, 25 brands) over a data-scaled input is the same straggler
+  // with 3-25 tasks instead of 1: parallelism pinned regardless of
+  // cluster size. Flag any WindowExec whose partition keys are all
+  // catalog-tiny column names UNLESS every data path below it passes
+  // through a bounded aggregate (grouping keys all catalog-tiny or
+  // calendar/bucket-bounded) before reaching a corpus scan.
+
+  /** Column names whose distinct-value count is fixed by the data model
+    * (independent of scale factor). */
+  private val catalogTinyKeys = Set(
+    "event_type", "flag", "l_returnflag", "l_linestatus", "p_brand",
+    "brand", "lang", "o_orderstatus", "c_mktsegment", "mktsegment",
+    "source", "n_name", "nation", "r_name", "region", "c_nationkey",
+    "n_nationkey", "s_nationkey", "o_orderpriority", "l_shipmode",
+    "p_container", "p_mfgr", "label", "arm", "split", "half")
+
+  /** Grouping-key names that bound an aggregate's cardinality: the
+    * catalog-tiny set plus calendar / fixed-bucket derivations (a
+    * per-(type, day) aggregate grows with the time span, never the row
+    * count; a decile/band/digit/shard key is constant-width). */
+  private val boundedGroupKey =
+    ("""^(day|week|month|quarter|year|date|dt|hour|ts_h|tsb|bucket|band|
+       |bin|decile|digit|shard|cell|grid|gc|cfg|k|half|stage|step|round|
+       |pos|lag|dim|b|r)\d*$""".stripMargin.replaceAll("\n|\\s", "")).r
+
+  private def isBoundedKeyName(n: String): Boolean =
+    catalogTinyKeys.contains(n) || boundedGroupKey.matches(n) ||
+      n.startsWith("__gr_")
+
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+  import org.apache.spark.sql.execution.LeafExecNode
+
+  /** Calendar / fixed-width-bucket derivations: grouping on one bounds
+    * the aggregate by the time span (or the bucket count), never the
+    * row count. Catalyst inlines these as `_groupingexpression` keys,
+    * so they are recognized by the DEFINING expression, not the name. */
+  private val boundedDerivation =
+    ("dayofmonth|dayofweek|dayofyear|weekofyear|month|year|quarter|" +
+      "hour|minute|date_trunc|to_date|date_format|unix_date|isodow|" +
+      "weekday|as date\\)|window|ntile|width_bucket").r
+
+  /** Alias definitions (exprId → child expression) in a plan subtree —
+    * used to resolve `_groupingexpression#N` keys back to what they
+    * compute. */
+  private def aliasDefs(p: SparkPlan): Map[Long, Expression] =
+    p.collect { case n =>
+      n.expressions.flatMap(_.collect { case a: Alias => a.exprId.id -> a.child })
+    }.flatten.toMap
+
+  private def isBoundedGroupKey(g: org.apache.spark.sql.catalyst.expressions
+      .NamedExpression, defs: Map[Long, Expression]): Boolean =
+    isBoundedKeyName(g.name) ||
+      // a DATE-typed grouping key is calendar-bounded: the aggregate
+      // grows with the time span, never the row count
+      g.dataType == org.apache.spark.sql.types.DateType || {
+        val defining = g match {
+          case a: Alias => Some(a.child)
+          case _ => defs.get(g.exprId.id)
+        }
+        defining.exists(e => e.dataType == org.apache.spark.sql.types.DateType ||
+          boundedDerivation.findFirstIn(e.toString.toLowerCase).isDefined)
+      }
+
+  /** True when every data path below `p` is bounded before any corpus
+    * scan: an aggregate with bounded grouping keys, a broadcast side
+    * (already policed by the BNLJ rules), a literal VALUES table, a
+    * fixed-size catalog relation (nation/region), or a checkpoint scan
+    * (whose builder's pre-checkpoint stages are audited separately). */
+  private def boundedBelow(p: SparkPlan, defs: Map[Long, Expression]): Boolean =
+    p match {
+      case a: BaseAggregateExec =>
+        a.groupingExpressions.isEmpty ||
+          a.groupingExpressions.forall(g => isBoundedGroupKey(g, defs)) ||
+          boundedBelow(a.child, defs)
+      case _: BroadcastExchangeExec => true
+      case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan, defs)
+      case l: LeafExecNode =>
+        val s = l.simpleString(200)
+        s.contains("ExistingRDD") || s.contains("LocalTableScan") ||
+          s.contains("nation.parquet") || s.contains("region.parquet") ||
+          l.nodeName.contains("RDDScan") || l.nodeName.contains("LocalTableScan")
+      case other if other.children.isEmpty => false
+      case other => other.children.forall(c => boundedBelow(c, defs))
+    }
+
+  /** Partitioned WindowExec nodes pinned to catalog-tiny parallelism
+    * over a data-scaled input, recursing through AQE wrappers. */
+  private def tinyPartitionedWindows(p: SparkPlan): Seq[WindowExec] = {
+    val direct = p.collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty &&
+        w.partitionSpec.forall(_.references.forall(a =>
+          catalogTinyKeys.contains(a.name))) &&
+        !boundedBelow(w.child, aliasDefs(w.child)) => w
+    }
+    val nested = p.collect { case a: AdaptiveSparkPlanExec =>
+      tinyPartitionedWindows(a.executedPlan) }.flatten
+    direct ++ nested
+  }
+
+  /** Queries allowed to keep a catalog-tiny partitioned window over an
+    * input this guard cannot prove bounded — each entry must argue why
+    * the input is in fact scale-bounded (the whitelist-and-justify
+    * mechanism of the lists above). The five r9-flagged sites
+    * (agg_bowley_skew / agg_trimean / agg_qcd via the shared ranked
+    * helper, agg_quadrant_corr's medians, agg_price_dispersion) must
+    * NOT appear here — their ranks now come from GlobalRank, and this
+    * guard is what keeps that fix from regressing. */
+  private val tinyPartitionedWindowAllowlist: Map[String, String] = Map.empty
+
   // Roundtrip/checkpoint queries execute (part of) their pipeline
   // during DataFrame construction; that is fine at sf0.001 with tmp
   // dirs. Everything else only plans.
@@ -290,6 +404,23 @@ class PlanGuardSpec extends AnyFunSuite {
           s"$name is in tinyGlobalWindowAllowlist but plans no unpartitioned " +
             s"window — remove the stale entry so the guard stays tight")
       }
+      // Catalog-tiny partitioned window guard (r9 verdict item 4): a
+      // window partitioned by a 3-25-value key over a data-scaled
+      // input pins parallelism at the key cardinality — a straggler by
+      // construction at 100×. Use GlobalRank (part=key, groupsHint=N).
+      val tinyPart = tinyPartitionedWindows(planTree)
+      if (!tinyPartitionedWindowAllowlist.contains(name)) {
+        assert(tinyPart.isEmpty,
+          s"$name plans ${tinyPart.size} catalog-tiny partitioned window(s) " +
+            s"over an input this guard cannot prove bounded — rank via " +
+            s"GlobalRank.withSeqAndCount(part, groupsHint) or justify in " +
+            s"tinyPartitionedWindowAllowlist:\n" +
+            s"${tinyPart.map(_.simpleString(160)).mkString("\n")}")
+      } else {
+        assert(tinyPart.nonEmpty,
+          s"$name is in tinyPartitionedWindowAllowlist but plans no " +
+            s"catalog-tiny partitioned window — remove the stale entry")
+      }
       for ((tag, p) <- staged) {
         val ps = p.toString
         assert(!ps.contains("CartesianProduct"),
@@ -306,6 +437,12 @@ class PlanGuardSpec extends AnyFunSuite {
           assert(stageUnpart.isEmpty,
             s"$name pre-checkpoint stage '$tag' plans an unpartitioned " +
               s"(single-task) window:\n$ps")
+        }
+        if (!tinyPartitionedWindowAllowlist.contains(name)) {
+          val stageTiny = tinyPartitionedWindows(p)
+          assert(stageTiny.isEmpty,
+            s"$name pre-checkpoint stage '$tag' plans a catalog-tiny " +
+              s"partitioned window over an unproven input:\n$ps")
         }
       }
     }

@@ -70,8 +70,8 @@ class Round9nSpec extends AnyFunSuite {
   test("fn_from_csv roundtrips the packed fields at sf0.001") {
     val exp = graft.sources.Tables.orders(spark, sf0001)
       .select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").cast("string"))
-      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
       .toMap
     val got = SparkEntry.queries("fn_from_csv")(spark, sf0001).collect()
     assert(got.length == exp.size)
@@ -79,7 +79,7 @@ class Round9nSpec extends AnyFunSuite {
       val k = r.getLong(0)
       assert(r.getLong(1) == k, "parsed key")
       assert(r.getString(2) == exp(k)._1, "parsed status")
-      assert(r.getDecimal(3).toPlainString == exp(k)._2, "parsed price")
+      assert(r.getLong(3) == exp(k)._2, "parsed price (exact centi)")
     }
   }
 
