@@ -176,18 +176,17 @@ object AggQueries {
     // (price, orderkey, linenumber) order — no float boundary anywhere;
     // one window + one bounded aggregation.
     "agg_weighted_median" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val li = Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_quantity").cast("long").as("w"),
           col("l_orderkey"), col("l_linenumber"))
-      val wcum = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wtot = Window.partitionBy("l_returnflag")
-      li.withColumn("cumw", sum("w").over(wcum))
-        .withColumn("totw", sum("w").over(wtot))
+      // per-flag cumulative weight over the corpus-scaled lineitem:
+      // GlobalRank's distributed running sum (3 flags), not a 3-task
+      // partitioned window
+      GlobalRank.withRunningSums(li, Seq((col("w"), "cumw", "totw")),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc), groupsHint = 3)
         .where(col("cumw") * 2 >= col("totw"))
         .groupBy("l_returnflag")
         .agg(min("l_extendedprice").as("weighted_median"),

@@ -144,11 +144,12 @@ object CohortSignalQueries {
         .select(col("c_mktsegment"),
           datediff(col("o_orderdate"), col("prev_d")).cast("long").as("gap"),
           col("o_custkey"), col("o_orderkey"))
-      val ws = Window.partitionBy("c_mktsegment")
-        .orderBy("gap", "o_custkey", "o_orderkey")
-      gaps
-        .withColumn("rn", row_number().over(ws).cast("long"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      // per-segment rank over the corpus-scaled gap rows: GlobalRank
+      // (5 segments), not a 5-task partitioned window (the per-CUSTOMER
+      // lag window above is high-cardinality — scale-safe as is)
+      GlobalRank.withSeqAndCount(gaps, "rn", "n", Seq("c_mktsegment"),
+          Seq(col("gap").asc, col("o_custkey").asc, col("o_orderkey").asc),
+          groupsHint = 5)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_gaps"),
           (sum("gap").cast(DoubleType) / count(lit(1))).as("mean_gap"),

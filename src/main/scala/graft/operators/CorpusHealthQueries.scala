@@ -67,10 +67,14 @@ object CorpusHealthQueries {
         .where(col("xx") > 0 && col("mm") > 0)
         .select(col("vec_id"), col("label"),
           r4(col("dot") / (sqrt(col("xx")) * sqrt(col("mm")))).as("cos_cent"))
+      // bottom-3 per label via TopKPerGroupExec (bounded per-group
+      // heaps over the per-vector table — no label-cardinality-task
+      // window); ranking the ≤ 3×|labels| cut afterwards is bounded.
+      val cut = graft.plans.GraftOps.topKPerGroup(per, Seq("label"),
+        Seq("cos_cent" -> true, "vec_id" -> true), 3)
       val w = Window.partitionBy("label")
         .orderBy(col("cos_cent").asc, col("vec_id").asc)
-      per.withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 3)
+      cut.withColumn("rk", row_number().over(w).cast("long"))
         .select("label", "rk", "vec_id", "cos_cent")
         .orderBy("label", "rk")
     }),
@@ -121,9 +125,10 @@ object CorpusHealthQueries {
         .select(col("lang"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("lang")
-        .orderBy(col("c").desc, col("tok").asc)
-      tf.withColumn("rank", row_number().over(w))
+      // per-lang rank over the corpus-vocabulary (lang, token) table:
+      // GlobalRank (5 langs), the llm_token_gini shape
+      GlobalRank.withSeqAndCount(tf, "rank", "__zs_n", Seq("lang"),
+          Seq(col("c").desc, col("tok").asc), groupsHint = 5)
         .groupBy("lang")
         .agg(
           r4(regr_slope(log2(col("c")), log2(col("rank")))).as("zipf_slope"),

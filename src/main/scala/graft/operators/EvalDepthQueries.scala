@@ -130,10 +130,14 @@ object EvalDepthQueries {
             / ((col("ka") - col("k") + lit(0.5))
               / (col("ta") - col("tl") - (col("ka") - col("k")) + lit(0.5)))), 4)
             .as("log_odds"))
+      // top-5 per lang via TopKPerGroupExec (bounded heaps over the
+      // corpus-vocabulary score table); ranking the ≤ 5×5-row cut is a
+      // bounded window.
+      val cut = graft.plans.GraftOps.topKPerGroup(scored, Seq("lang"),
+        Seq("log_odds" -> false, "t" -> true), 5)
       val w = Window.partitionBy("lang")
         .orderBy(col("log_odds").desc, col("t").asc)
-      scored.withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 5)
+      cut.withColumn("rk", row_number().over(w).cast("long"))
         .select(col("lang"), col("rk"), col("t").as("token"), col("log_odds"))
         .orderBy("lang", "rk")
     }),
@@ -172,13 +176,12 @@ object EvalDepthQueries {
         .select(col("l_returnflag"), col("l_extendedprice"),
           col("l_quantity").cast("long").as("w"),
           col("l_orderkey"), col("l_linenumber"))
-      val wcum = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
-          col("l_linenumber").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wtot = Window.partitionBy("l_returnflag")
-      li.withColumn("cumw", sum("w").over(wcum))
-        .withColumn("totw", sum("w").over(wtot))
+      // per-flag cumulative weight over corpus-scaled lineitem:
+      // GlobalRank's distributed running sum (3 flags)
+      GlobalRank.withRunningSums(li, Seq((col("w"), "cumw", "totw")),
+          Seq("l_returnflag"),
+          Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc), groupsHint = 3)
         .groupBy("l_returnflag")
         .agg(
           min(when(col("cumw") * 4 >= col("totw"), col("l_extendedprice")))

@@ -265,28 +265,36 @@ object GlobalRank {
     * only the global first row stays NULL.
     */
   def withRunningMaxBefore(df: DataFrame, valCol: Column, pmCol: String,
-      order: Seq[Column], partitions: Int = 0): DataFrame = {
-    val nPart = rangePartitions(df, partitions)
+      order: Seq[Column], partitions: Int = 0,
+      part: Seq[String] = Seq.empty, groupsHint: Int = 0): DataFrame = {
+    val partCols = part.map(col)
+    val sortExprs = partCols ++ order
+    val nPart = rangePartitions(df, partitions, part.nonEmpty, groupsHint)
     // materialized once for the same two-branch boundary-divergence
     // reason as withSeqAndCount (see object scaladoc)
     val ranged = graft.tools.Materialize.eager("global_rank.prefix_scan",
-      df.repartitionByRange(nPart, order: _*)
-        .sortWithinPartitions(order: _*)
+      df.repartitionByRange(nPart, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
         .withColumn(MID, monotonically_increasing_id())
         .withColumn(PHYS, spark_partition_id())
         .withColumn(PID, shiftright(col(MID), 33).cast("int")))
-    val wLocal = Window.partitionBy(PID).orderBy(order: _*)
+    guardUnhintedGroups(ranged, part, groupsHint)
+    val wLocal = Window.partitionBy(col(PID) +: partCols: _*)
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val stats = ranged.groupBy(col(PID)).agg(max(valCol).as(LMAX),
-      max(when(col(PID) =!= col(PHYS), 1).otherwise(0)).as(BAD))
-    val wPrefix = Window.orderBy(PID)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val stats = ranged.groupBy(col(PID) +: partCols: _*)
+      .agg(max(valCol).as(LMAX),
+        max(when(col(PID) =!= col(PHYS), 1).otherwise(0)).as(BAD))
+    val wPrefix =
+      (if (part.isEmpty) Window.orderBy(PID)
+       else Window.partitionBy(partCols: _*).orderBy(PID))
+        .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = stats
       .withColumn(PMAX, overflowGuard(max(LMAX).over(wPrefix), col(BAD)))
-      .select(col(PID), col(PMAX))
+      .select(col(PID) +: partCols :+ col(PMAX): _*)
     ranged
       .withColumn(LMAX, max(valCol).over(wLocal))
-      .join(broadcast(offsets), Seq(PID))
+      .join(broadcast(offsets), PID +: part)
       .withColumn(pmCol, greatest(col(LMAX), col(PMAX)))
       .drop(MID, PID, PHYS, LMAX, PMAX)
   }

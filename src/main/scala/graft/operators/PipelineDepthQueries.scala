@@ -130,12 +130,13 @@ object PipelineDepthQueries {
     // the exact mean of the clipped values. Thresholds per language
     // are a 5-row broadcast back onto the corpus.
     "llm_quality_winsorize" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy(col("n_chars").asc, col("doc_id").asc)
-      val wn = Window.partitionBy("lang")
-      val ranked = Tables.documents(s, dir)
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // per-lang rank over the corpus-scaled documents: GlobalRank
+      // (5 langs), not a 5-task partitioned window
+      val ranked = GlobalRank.withSeqAndCount(
+        Tables.documents(s, dir)
+          .select(col("lang"), col("n_chars"), col("doc_id")),
+        "rn", "n", Seq("lang"),
+        Seq(col("n_chars").asc, col("doc_id").asc), groupsHint = 5)
       val bounds = ranked.groupBy("lang")
         .agg(
           max(when(col("rn") === expr("(n + 19) DIV 20"), col("n_chars"))).as("p5"),

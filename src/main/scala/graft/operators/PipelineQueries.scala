@@ -44,12 +44,17 @@ object PipelineQueries {
 
     // ---- stratified per-language sample (k=20 per stratum) -------------
     "llm_sample_stratified" -> ((s, dir) => {
+      // top-20 per lang via the custom TopKPerGroupExec (bounded
+      // per-group heaps, one pass — no 5-task corpus window); ranking
+      // the ≤ 5×20-row cut afterwards is a bounded window.
+      val hashed = Tables.documents(s, dir)
+        .withColumn("h", hash60(col("doc_id").cast("string")))
+        .select(col("doc_id"), col("lang"), col("h"))
+      val cut = graft.plans.GraftOps.topKPerGroup(hashed, Seq("lang"),
+        Seq("h" -> true, "doc_id" -> true), 20)
       val w = Window.partitionBy("lang")
         .orderBy(col("h").asc, col("doc_id").asc)
-      Tables.documents(s, dir)
-        .withColumn("h", hash60(col("doc_id").cast("string")))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 20)
+      cut.withColumn("rk", row_number().over(w).cast("long"))
         .select(col("doc_id"), col("lang"), col("rk"))
         .orderBy("doc_id")
     }),

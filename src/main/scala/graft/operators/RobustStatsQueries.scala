@@ -92,10 +92,11 @@ object RobustStatsQueries {
           col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment"), col("o_orderkey"),
           col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
-      val w = Window.partitionBy("c_mktsegment").orderBy("p", "o_orderkey")
-      val rk = o.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy("c_mktsegment")))
+      // per-segment rank over the corpus-scaled order rows: GlobalRank
+      // (5 segments), not a 5-task partitioned window
+      val rk = GlobalRank.withSeqAndCount(o, "rn", "n",
+        Seq("c_mktsegment"), Seq(col("p").asc, col("o_orderkey").asc),
+        groupsHint = 5)
       def band(q: Int): org.apache.spark.sql.Column =
         max(when(col("rn") === expr(s"CAST(ceil(n * $q / 100.0) AS BIGINT)"),
           col("p"))).cast(DoubleType)
@@ -114,12 +115,12 @@ object RobustStatsQueries {
     // robust-location complement of llm_quality_winsorize (which
     // clips instead of dropping).
     "agg_trimmed_mean" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
-      val rk = Tables.events(s, dir)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n",
-          count(lit(1)).over(Window.partitionBy("event_type")))
+      // per-type rank over corpus-scaled events: GlobalRank (5 groups)
+      val rk = GlobalRank.withSeqAndCount(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id")),
+        "rn", "n", Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc), groupsHint = 5)
       rk.where(col("rn") > expr("n DIV 10")
           && col("rn") <= col("n") - expr("n DIV 10"))
         .groupBy("event_type")

@@ -150,14 +150,18 @@ object Round3Queries {
       import org.apache.spark.sql.expressions.Window
       val wFirst = Window.partitionBy("event_type", "user_id")
         .orderBy(col("ts").asc, col("event_id").asc)
-      val wCum = Window.partitionBy("event_type")
-        .orderBy(col("ts").asc, col("event_id").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, dir)
+      // the (type, user) first-occurrence window is high-cardinality —
+      // scale-safe as a plain window; the per-TYPE prefix sum is not
+      // (5 corpus-scaled groups), so it rides GlobalRank's distributed
+      // running sum instead.
+      val flagged = Tables.events(s, dir)
         .withColumn("first_seen",
           when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-        .select(col("event_id"), col("event_type"),
-          sum(col("first_seen")).over(wCum).as("distinct_users"))
+      GlobalRank.withRunningSums(flagged,
+          Seq((col("first_seen"), "distinct_users", "__ru_tot")),
+          Seq("event_type"), Seq(col("ts").asc, col("event_id").asc),
+          groupsHint = 5)
+        .select(col("event_id"), col("event_type"), col("distinct_users"))
         .orderBy("event_id")
     }),
 
@@ -167,14 +171,13 @@ object Round3Queries {
     // data's own values. ceil(p·n) is computed as exact integer
     // division ((n+1) DIV 2, (9n+9) DIV 10), never a double product.
     "agg_percentile_disc" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value").asc, col("event_id").asc)
-      val wn = Window.partitionBy("event_type")
-      Tables.events(s, dir)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // per-type rank over the corpus-scaled events table: GlobalRank
+      // (part=event_type, 5 groups), not a 5-task partitioned window
+      GlobalRank.withSeqAndCount(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id")),
+        "rn", "n", Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc), groupsHint = 5)
         .groupBy("event_type")
         .agg(
           max(when(col("rn") === expr("(n + 1) DIV 2"), col("value"))).as("p50_disc"),

@@ -102,10 +102,14 @@ object Round8iQueries {
       val bandCounts = (0 to 4).map(k => count_if(col("qb") === k).as(s"c$k"))
       val wide = li.groupBy("l_returnflag", "pc")
         .agg(bandCounts.head, bandCounts.tail: _*)
-      val wc = Window.partitionBy("l_returnflag").orderBy("pc")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = (0 to 4).foldLeft(wide) { (df, k) =>
-        df.withColumn(s"u$k", coalesce(sum(col(s"c$k")).over(wc), lit(0L)))
+      // the distinct-(flag, price) ledger is catalog-scaled, so the 5
+      // cumulative band counts ride GlobalRank's distributed running
+      // sums (3 flags); exclusive prefix = inclusive − current.
+      val cum0 = GlobalRank.withRunningSums(wide,
+        (0 to 4).map(k => (col(s"c$k"), s"ic$k", s"__jt$k")),
+        Seq("l_returnflag"), Seq(col("pc").asc), groupsHint = 3)
+      val cum = (0 to 4).foldLeft(cum0) { (df, k) =>
+        df.withColumn(s"u$k", col(s"ic$k") - col(s"c$k"))
       }
       val contrib2 = (1 to 4).map { j =>
         val lt = (0 until j).map(i => col(s"u$i")).reduce(_ + _)

@@ -120,13 +120,13 @@ object Round8oQueries {
     // only floats are the data's own values; ratios NULL-guarded on a
     // zero denominator). The scale-free spread report.
     "agg_quantile_ratio" -> ((s, dir) => {
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("value").asc, col("event_id").asc)
-      val wn = Window.partitionBy("event_type")
-      Tables.events(s, dir)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // per-type rank over corpus-scaled events: GlobalRank, not a
+      // 5-task partitioned window
+      GlobalRank.withSeqAndCount(
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"), col("event_id")),
+        "rn", "n", Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc), groupsHint = 5)
         .groupBy("event_type")
         .agg(max("n").as("n"),
           max(when(col("rn") === expr("(n + 9) DIV 10"), col("value"))).as("p10"),

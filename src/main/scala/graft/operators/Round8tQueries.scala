@@ -39,11 +39,10 @@ object Round8tQueries {
         .select(col("o_orderkey"), col("o_orderpriority"),
           datediff(col("lastship"), to_date(col("o_orderdate")))
             .cast("long").as("cycle"))
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("cycle").asc, col("o_orderkey").asc)
-      val wn = Window.partitionBy("o_orderpriority")
-      cyc.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // per-priority rank over the per-ORDER cycle table (data-scaled):
+      // GlobalRank (5 priorities), not a 5-task partitioned window
+      GlobalRank.withSeqAndCount(cyc, "rn", "n", Seq("o_orderpriority"),
+          Seq(col("cycle").asc, col("o_orderkey").asc), groupsHint = 5)
         .groupBy("o_orderpriority")
         .agg(max("n").as("n_orders"), sum("cycle").as("sc"),
           max(when(col("rn") === expr("(n + 1) DIV 2"), col("cycle")))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -23,18 +22,18 @@ object Round8yQueries {
 
   private def d(c: Column): Column = c.cast(DoubleType)
 
-  /** Per-event-type centi values with a per-type total order rank. */
-  private def ranked(s: SparkSession, dir: String) = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("xc").asc, col("event_id").asc)
-    val wn = Window.partitionBy("event_type")
-    Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"),
-        (col("value").cast(DecimalType(18, 6)) * 100)
-          .cast(DecimalType(18, 0)).cast("long").as("xc"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(wn))
-  }
+  /** Per-event-type centi values with a per-type total order rank.
+    * Events are corpus-scaled and event_type has ~5 values, so a plain
+    * partitioned window would funnel the corpus through 5 single-task
+    * groups — ranked via GlobalRank instead, every stage distributed. */
+  private def ranked(s: SparkSession, dir: String) =
+    GlobalRank.withSeqAndCount(
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          (col("value").cast(DecimalType(18, 6)) * 100)
+            .cast(DecimalType(18, 0)).cast("long").as("xc")),
+      "rn", "n", Seq("event_type"),
+      Seq(col("xc").asc, col("event_id").asc), groupsHint = 5)
 
   private val rankedSql =
     """r AS (SELECT event_type, event_id, xc,
@@ -150,11 +149,10 @@ object Round8yQueries {
             .cast(DecimalType(18, 0)).cast("long").as("xc"))
         .join(broadcast(med), Seq("event_type"))
         .withColumn("dv", abs(col("xc") - col("med")))
-      val w = Window.partitionBy("event_type")
-        .orderBy(col("dv").asc, col("event_id").asc)
-      val wn = Window.partitionBy("event_type")
-      dev.withColumn("rn", row_number().over(w).cast("long"))
-        .withColumn("n", count(lit(1)).over(wn))
+      // second rank pass over the deviations: GlobalRank again — the
+      // deviations table is as corpus-scaled as the values table
+      GlobalRank.withSeqAndCount(dev, "rn", "n", Seq("event_type"),
+          Seq(col("dv").asc, col("event_id").asc), groupsHint = 5)
         .groupBy("event_type")
         .agg(max("n").as("n"), (d(max("med")) / 100.0).as("median"),
           (d(max(when(col("rn") === expr("(n + 1) DIV 2"), col("dv"))))

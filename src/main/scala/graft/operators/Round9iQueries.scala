@@ -109,14 +109,17 @@ object Round9iQueries {
         .select(col("event_type"), col("event_id"),
           expr("unix_micros(cast(ts as timestamp_ltz))").as("tus"))
         .withColumn("en", col("tus") + lit(1800000000L))
-      val w = Window.partitionBy("event_type").orderBy("tus", "event_id")
-      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
-      val wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      iv.withColumn("pmax", max("en").over(wPrev))
+      // both per-type prefix scans (exclusive running max of the
+      // interval end, inclusive running sum of the break flags) ride
+      // GlobalRank (5 corpus-scaled groups), not 5-task windows
+      val ord = Seq(col("tus").asc, col("event_id").asc)
+      val flagged = GlobalRank.withRunningMaxBefore(iv, col("en"), "pmax",
+          ord, part = Seq("event_type"), groupsHint = 5)
         .withColumn("brk",
           when(col("pmax").isNull || col("tus") > col("pmax"), 1L)
             .otherwise(0L))
-        .withColumn("isl", sum("brk").over(wc))
+      GlobalRank.withRunningSums(flagged, Seq((col("brk"), "isl", "__iu_tot")),
+          Seq("event_type"), ord, groupsHint = 5)
         .groupBy("event_type", "isl")
         .agg(count(lit(1)).as("ne"), min("tus").as("st"), max("en").as("en"))
         .groupBy("event_type")

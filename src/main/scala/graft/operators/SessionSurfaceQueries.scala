@@ -90,10 +90,14 @@ object SessionSurfaceQueries {
           sequence(lit(1), length(col("text")) - 2),
           i => col("text").substr(i, lit(3)))).as("gram"))
       val counts = g.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      // top-20 per lang via TopKPerGroupExec (bounded heaps over the
+      // corpus-vocabulary gram table); ranking the ≤ 5×20-row cut is
+      // a bounded window.
+      val cut = graft.plans.GraftOps.topKPerGroup(counts, Seq("lang"),
+        Seq("cnt" -> false, "gram" -> true), 20)
       val w = Window.partitionBy("lang")
         .orderBy(col("cnt").desc, col("gram").asc)
-      counts.withColumn("rk", row_number().over(w).cast("long"))
-        .where(col("rk") <= 20)
+      cut.withColumn("rk", row_number().over(w).cast("long"))
         .orderBy("lang", "rk")
     }),
 

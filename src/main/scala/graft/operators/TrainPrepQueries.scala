@@ -44,18 +44,21 @@ object TrainPrepQueries {
     // All integer arithmetic on a per-lang running sum; chunk ids are
     // floor divisions of non-negative longs (exact in double well below
     // 2^53).
-    "llm_pack_sequences" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
-        .where(col("n_tok") >= 1)
-        .withColumn("cum", sum("n_tok").over(w))
+    "llm_pack_sequences" -> ((s, dir) =>
+      // per-lang running token count over the corpus-scaled documents:
+      // GlobalRank's distributed running sum (5 langs), not a 5-task
+      // partitioned window (at 100 TB the key would be the shard —
+      // same plan, finer hint)
+      GlobalRank.withRunningSums(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+          .where(col("n_tok") >= 1),
+        Seq((col("n_tok"), "cum", "__ps_tot")),
+        Seq("lang"), Seq(col("doc_id").asc), groupsHint = 5)
         .select(col("doc_id"), col("lang"), col("n_tok"),
           floor((col("cum") - col("n_tok")) / 2048.0).cast("long").as("first_chunk"),
           floor((col("cum") - 1) / 2048.0).cast("long").as("last_chunk"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // ---- balanced shard assignment (16 shards) --------------------------
     // Deterministic md5 shard of every doc plus the balance report

@@ -336,6 +336,7 @@ class PlanGuardSpec extends AnyFunSuite {
           a.groupingExpressions.forall(g => isBoundedGroupKey(g, defs)) ||
           boundedBelow(a.child, defs)
       case _: BroadcastExchangeExec => true
+      case _: graft.plans.TopKPerGroupExec => true // k × groups rows
       case a: AdaptiveSparkPlanExec => boundedBelow(a.executedPlan, defs)
       case l: LeafExecNode =>
         val s = l.simpleString(200)
