@@ -299,6 +299,67 @@ object GlobalRank {
       .drop(MID, PID, PHYS, LMAX, PMAX)
   }
 
+  /** Gaps-and-islands in ONE ranged pass: `pmCol` = the exclusive
+    * running max of `endCol` strictly before the row in the total
+    * `order` within each `part` group (NULL for each group's first
+    * row), and `islCol` = the 1-based island id — the inclusive
+    * running count of island-opening rows (`startCol` > pmCol, or
+    * pmCol NULL, i.e. the row does not overlap any earlier interval).
+    *
+    * Fuses `withRunningMaxBefore` + `withRunningSums` over a single
+    * range materialization: one range shuffle + checkpoint instead of
+    * two (the two prefix passes and their two broadcast offsets tables
+    * both read the same checkpointed slices — deterministic, so the
+    * two-branch boundary-divergence hazard of re-running the range
+    * SAMPLER does not apply). Same contracts as the parents: total
+    * `order`, few-group `part` with `groupsHint`, 2^33 rows/slice. */
+  def withIslandSeq(df: DataFrame, startCol: Column, endCol: Column,
+      pmCol: String, islCol: String, order: Seq[Column],
+      part: Seq[String] = Seq.empty, partitions: Int = 0,
+      groupsHint: Int = 0): DataFrame = {
+    val partCols = part.map(col)
+    val sortExprs = partCols ++ order
+    val nPart = rangePartitions(df, partitions, part.nonEmpty, groupsHint)
+    val ranged = graft.tools.Materialize.eager("global_rank.islands",
+      df.repartitionByRange(nPart, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn(MID, monotonically_increasing_id())
+        .withColumn(PHYS, spark_partition_id())
+        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+    guardUnhintedGroups(ranged, part, groupsHint)
+    val wLocalExcl = Window.partitionBy(col(PID) +: partCols: _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPrefix =
+      (if (part.isEmpty) Window.orderBy(PID)
+       else Window.partitionBy(partCols: _*).orderBy(PID))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    val maxStats = ranged.groupBy(col(PID) +: partCols: _*)
+      .agg(max(endCol).as(LMAX),
+        max(when(col(PID) =!= col(PHYS), 1).otherwise(0)).as(BAD))
+    val maxOffsets = maxStats
+      .withColumn(PMAX, overflowGuard(max(LMAX).over(wPrefix), col(BAD)))
+      .select(col(PID) +: partCols :+ col(PMAX): _*)
+    val withPm = ranged
+      .withColumn(LMAX, max(endCol).over(wLocalExcl))
+      .join(broadcast(maxOffsets), PID +: part)
+      .withColumn(pmCol, greatest(col(LMAX), col(PMAX)))
+      .withColumn("__gr_brk",
+        when(col(pmCol).isNull || startCol > col(pmCol), 1L).otherwise(0L))
+      .drop(LMAX, PMAX)
+    val wLocalIncl = Window.partitionBy(col(PID) +: partCols: _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sumOffsets = withPm.groupBy(col(PID) +: partCols: _*)
+      .agg(sum("__gr_brk").as("__gr_bs"))
+      .withColumn("__gr_bo",
+        coalesce(sum("__gr_bs").over(wPrefix), lit(0L)))
+      .select(col(PID) +: partCols :+ col("__gr_bo"): _*)
+    withPm.join(broadcast(sumOffsets), PID +: part)
+      .withColumn(islCol, sum("__gr_brk").over(wLocalIncl) + col("__gr_bo"))
+      .drop(MID, PID, PHYS, "__gr_brk", "__gr_bo")
+  }
+
   /** `df` plus, for each `(valCol, runName, totName)` triple: `runName`
     * = the INCLUSIVE running sum of `valCol` over the total `order`
     * within each `part` group, and `totName` = the group's total — the

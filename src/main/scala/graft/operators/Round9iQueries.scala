@@ -110,16 +110,12 @@ object Round9iQueries {
           expr("unix_micros(cast(ts as timestamp_ltz))").as("tus"))
         .withColumn("en", col("tus") + lit(1800000000L))
       // both per-type prefix scans (exclusive running max of the
-      // interval end, inclusive running sum of the break flags) ride
-      // GlobalRank (5 corpus-scaled groups), not 5-task windows
-      val ord = Seq(col("tus").asc, col("event_id").asc)
-      val flagged = GlobalRank.withRunningMaxBefore(iv, col("en"), "pmax",
-          ord, part = Seq("event_type"), groupsHint = 5)
-        .withColumn("brk",
-          when(col("pmax").isNull || col("tus") > col("pmax"), 1L)
-            .otherwise(0L))
-      GlobalRank.withRunningSums(flagged, Seq((col("brk"), "isl", "__iu_tot")),
-          Seq("event_type"), ord, groupsHint = 5)
+      // interval end, inclusive running count of island-opening rows)
+      // ride GlobalRank's fused gaps-and-islands pass (5 corpus-scaled
+      // groups; ONE range materialization), not 5-task windows
+      GlobalRank.withIslandSeq(iv, col("tus"), col("en"), "pmax", "isl",
+          Seq(col("tus").asc, col("event_id").asc),
+          part = Seq("event_type"), groupsHint = 5)
         .groupBy("event_type", "isl")
         .agg(count(lit(1)).as("ne"), min("tus").as("st"), max("en").as("en"))
         .groupBy("event_type")

@@ -111,15 +111,20 @@ object Round9jQueries {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast(DecimalType(18, 0)).cast("long").as("y"))
       // raw lineitem through a 3-group window would pin parallelism at
-      // 3 single-task partitions — rank via GlobalRank instead (the
-      // agg_mannwhitney shape), every stage distributed.
-      def medOf(v: String): DataFrame =
-        GlobalRank.withSeqAndCount(li, "rn", "nn", Seq("flag"),
-          Seq(col(v).asc, col("l_orderkey").asc, col("l_linenumber").asc),
-          groupsHint = 3)
+      // 3 single-task partitions. The distinct-value running-count
+      // median idiom (agg_mood_median): per-(flag, value) counts —
+      // one combiner-friendly corpus aggregation to a ledger far
+      // smaller than the fact table — then GlobalRank's distributed
+      // running count over the ledger picks the low median (the value
+      // at rank (n+1) DIV 2 is tiebreak-invariant).
+      def medOf(v: String): DataFrame = {
+        val ledger = li.groupBy("flag", v).agg(count(lit(1)).as("cnt"))
+        GlobalRank.withRunningSums(ledger, Seq((col("cnt"), "hi", "nn")),
+            Seq("flag"), Seq(col(v).asc), groupsHint = 3)
           .groupBy("flag")
-          .agg(max(when(col("rn") === expr("(nn + 1) DIV 2"), col(v)))
+          .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col(v)))
             .as(s"m$v"))
+      }
       li.join(broadcast(medOf("x")), Seq("flag"))
         .join(broadcast(medOf("y")), Seq("flag"))
         .where(col("x") =!= col("mx") && col("y") =!= col("my"))

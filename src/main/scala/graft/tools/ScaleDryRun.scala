@@ -363,11 +363,34 @@ object ScaleDryRun {
       graft.operators.Round9gQueries.hitsAuthOf(e).count()
     }
     ordShape(1); truncShape(1); hitsShape(1) // warm
-    for (k <- Seq(1, 2, 4, 8)) {
+    // extended to 16×-32× per r9 verdict item 6 (parity with the
+    // headline [scale32] decade)
+    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
       val to = time(ordShape(k))
       val tt = time(truncShape(k))
       val th = time(hitsShape(k))
       println(f"[scale_r9] k=$k%2d  ordinal=$to%6.2f s  trunc256=$tt%6.2f s  hits=$th%6.2f s")
+    }
+    // ---- round-10 shape: the GlobalRank few-group rank (the r10
+    // campaign's substitute for catalog-tiny partitioned windows) —
+    // per-type rank+count over k× events, every stage distributed;
+    // wall time must track scan volume, parallelism must NOT pin at
+    // the 5-group key cardinality
+    def fewGroupRankShape(k: Int): Long = {
+      // disjoint event_ids per replica keep (value, event_id) total
+      val e = Seq.range(0, k).map(i => events
+        .withColumn("event_id", col("event_id") * k + i))
+        .reduce(_ unionAll _)
+      graft.operators.GlobalRank.withSeqAndCount(
+        e.select(col("event_type"), col("event_id"), col("value")),
+        "rn", "n", Seq("event_type"),
+        Seq(col("value").asc, col("event_id").asc), groupsHint = 5)
+        .where(col("rn") === col("n")).count()
+    }
+    fewGroupRankShape(1) // warm
+    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+      val tg = time(fewGroupRankShape(k))
+      println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s")
     }
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
