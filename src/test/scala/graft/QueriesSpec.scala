@@ -121,8 +121,15 @@ class QueriesSpec extends AnyFunSuite {
   // interval, struct, map, float, ...) must be cast at the output edge.
   private val provenLeafTypes: Set[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
-    Set(LongType, IntegerType, DoubleType, StringType, TimestampType,
-      BooleanType, DateType)
+    // Both timestamp flavors: the surface is NTZ end-to-end (SURVEY
+    // 7.2 rule 5), and the LTZ form is proven by the four deliberate
+    // session-TZ queries (fn_datetime, fn_datetime_tz,
+    // fn_try_to_timestamp, stream_late_drop — session TZ pinned UTC
+    // on both engines). FloatType is proven by fn_array/gen_posexplode
+    // (exploded Array[Float] embedding elements). All driver-green
+    // since their introduction.
+    Set(LongType, IntegerType, DoubleType, FloatType, StringType,
+      TimestampNTZType, TimestampType, BooleanType, DateType)
   }
 
   private def inEnvelope(dt: org.apache.spark.sql.types.DataType): Boolean =
