@@ -115,7 +115,15 @@ object PlanAudit {
       "graph_edge_embeddedness", "win_keltner", "win_coppock",
       "agg_kde_grid", "llm_positional_bias", "win_interval_union",
       "join_snapshot_diff", "agg_h_index", "agg_apportionment",
-      "win_ichimoku", "agg_pacf2")
+      "win_ichimoku", "agg_pacf2",
+      // round-10: the catalog-tiny-window campaign's new shapes —
+      // GlobalRank few-group ranks/runsums replacing 3-25-task
+      // partitioned windows, TopKPerGroup vocab cuts, the fused
+      // gaps-and-islands pass, the ledger-median quadrant correlation
+      "agg_quadrant_corr", "agg_median_mad", "agg_weighted_median",
+      "llm_pack_sequences", "win_running_distinct", "llm_odds_ratio",
+      "llm_sample_stratified", "llm_zipf_slope", "agg_trimmed_mean",
+      "agg_order_cycle", "agg_price_dispersion", "agg_bowley_skew")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the
