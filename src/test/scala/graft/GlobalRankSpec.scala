@@ -70,6 +70,43 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withRunningMaxBefore matches the partitioned strictly-before prefix max") {
+    for (seed <- Seq(11L, 12L); n <- Seq(1, 4, 900)) {
+      val df = randDf(seed, n, 9)
+      val got = GlobalRank.withRunningMaxBefore(df, col("k"), "pm",
+          Seq(col("id")), partitions = 5, part = Seq("grp"), groupsHint = 4)
+        .select("id", "pm")
+      val want = df.withColumn("pm", max("k").over(
+          Window.partitionBy("grp").orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("id", "pm")
+      assert(rows(got) == rows(want), s"seed=$seed n=$n")
+    }
+  }
+
+  test("withIslandSeq matches the window-form gaps-and-islands pair") {
+    for (seed <- Seq(13L, 14L); n <- Seq(0, 1, 6, 900)) {
+      // intervals [k, k+3) over the id order: overlap-heavy on tied ks
+      val df = randDf(seed, n, 12)
+        .withColumn("st", col("k").cast("long"))
+        .withColumn("en", col("k").cast("long") + 3L)
+      val got = GlobalRank.withIslandSeq(df, col("st"), col("en"),
+          "pm", "isl", Seq(col("st"), col("id")),
+          part = Seq("grp"), partitions = 5, groupsHint = 4)
+        .select("id", "pm", "isl")
+      val w = Window.partitionBy("grp").orderBy("st", "id")
+      val want = df
+        .withColumn("pm", max("en").over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("pm").isNull || col("st") > col("pm"), 1L).otherwise(0L))
+        .withColumn("isl", sum("brk").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("id", "pm", "isl")
+      assert(rows(got) == rows(want), s"seed=$seed n=$n")
+    }
+  }
+
   test("default (derived) partition count follows the session's shuffle parallelism") {
     // r6 verdict item 1: no caller-visible fixed 32 — omitting
     // `partitions` must derive the range width from
