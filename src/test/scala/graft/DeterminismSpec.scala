@@ -103,7 +103,15 @@ class DeterminismSpec extends AnyFunSuite {
       // quantized-ln ledgers ride along
       "llm_token_gini", "llm_mean_word_rank", "graph_degree_gini",
       "agg_pareto_8020", "llm_ann_dim_truncate", "llm_emb_int8_recall",
-      "agg_gk_gamma", "agg_log_return_vol", "agg_markov_entropy_rate")) {
+      "agg_gk_gamma", "agg_log_return_vol", "agg_markov_entropy_rate",
+      // round-10 window-campaign kernels: the fused gaps-and-islands
+      // pass (withIslandSeq — exclusive end-max AND island prefix sum
+      // off one range materialization), the distinct-value ledger
+      // median, the partitioned weighted-quantile runsums and a
+      // TopKPerGroup heap cut — double-run where range boundaries and
+      // heap-merge order actually vary
+      "win_interval_union", "agg_quadrant_corr", "agg_weighted_quantile",
+      "agg_jonckheere", "llm_odds_ratio", "agg_median_mad")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {
