@@ -130,7 +130,7 @@ object CohortSignalQueries {
     // per market segment: gap count, mean (exact integer sum, one
     // division) and the exact discrete median (integer rank pick under
     // the total order (gap, custkey, orderkey)). The lag window is
-    // customer-keyed; the rank window runs per segment over the gap
+    // customer-keyed; the per-segment rank rides GlobalRank over the gap
     // table (order-dim-bounded).
     "agg_interpurchase_gap" -> ((s, dir) => {
       val o = Tables.orders(s, dir)

@@ -20,7 +20,7 @@ import graft.sources.Tables
   *    one per-vector reduction, one bounded top-k window per label.
   *    Nothing grows faster than the corpus.
   *  - `llm_zipf_slope` is tf-idf's shuffle shape (corpus-linear
-  *    (lang, token) counts) plus a per-lang rank window and one
+  *    (lang, token) counts) plus per-lang GlobalRank ranks and one
   *    regression aggregate per language.
   *
   * Determinism: the outlier query's floating sums (centroid means,

@@ -24,7 +24,8 @@ import graft.sources.Tables
   * single pinned-order expression over exact decimal daily sums and
   * integer day differences; log-odds uses ln (Spark log == DuckDB ln)
   * rounded at 4 as the house float-function rule; the weighted
-  * quantiles are pure integer window arithmetic.
+  * quantiles are pure integer arithmetic over GlobalRank's
+  * distributed running weights.
   */
 object EvalDepthQueries {
 
@@ -169,7 +170,7 @@ object EvalDepthQueries {
     // ---- weighted quantiles (p25/p50/p75) -------------------------------
     // The weighted-median pattern generalized: smallest price whose
     // cumulative quantity weight reaches the quantile of the group
-    // total — pure integer window arithmetic, one window + one bounded
+    // total — pure integer arithmetic, one distributed prefix sum + one bounded
     // aggregation, no float boundary anywhere.
     "agg_weighted_quantile" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)

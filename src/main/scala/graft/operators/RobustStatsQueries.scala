@@ -84,7 +84,7 @@ object RobustStatsQueries {
     // p10/p25/p50/p75/p90 of order totals per market segment, each the
     // ELEMENT at integer rank ceil(q·n) under the total order
     // (total, orderkey) — the exact-decile profile, no interpolation.
-    // One rank window per segment over the order dim, one conditional
+    // One GlobalRank rank per segment over the order rows, one conditional
     // aggregate.
     "agg_percentile_bands" -> ((s, dir) => {
       val o = Tables.orders(s, dir)

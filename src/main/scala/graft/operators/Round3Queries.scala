@@ -143,9 +143,10 @@ object Round3Queries {
 
     // ---- running distinct-user count (first-occurrence + prefix sum) ----
     // Spark has no COUNT(DISTINCT) OVER; the scalable equivalent is a
-    // first-occurrence flag (row_number over (type, user) time order)
-    // prefix-summed over the type's time order. Two windows, both on
-    // keys the data already clusters by.
+    // first-occurrence flag (row_number over the high-cardinality
+    // (type, user) key — scale-safe as a plain window) prefix-summed
+    // over the type's time order via GlobalRank (5 corpus-scaled
+    // groups would otherwise pin the sum at 5 tasks).
     "win_running_distinct" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val wFirst = Window.partitionBy("event_type", "user_id")

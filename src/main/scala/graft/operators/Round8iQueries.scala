@@ -88,8 +88,8 @@ object Round8iQueries {
     // Does extended price rise with the quantity decile band (ordered
     // doses 0..4 = quantity 1-10,…,41-50) within each return flag?
     // J = Σ_{i<j} U_ij computed WITHOUT pairwise expansion: per (flag,
-    // centi-price) block the 5 band counts pivot wide, a per-flag
-    // value-ordered window carries each band's strictly-smaller
+    // centi-price) block the 5 band counts pivot wide, GlobalRank's
+    // distributed running sums carry each band's strictly-smaller
     // cumulative, and 2J = Σ_blocks Σ_j cnt_j·(2·Σ_{i<j} cum_i +
     // Σ_{i<j} cnt_i) — ties contribute the standard half. All integer;
     // J and the null mean (n² − Σn_b²)/4 are exact power-of-two

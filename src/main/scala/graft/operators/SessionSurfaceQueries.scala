@@ -81,7 +81,7 @@ object SessionSurfaceQueries {
     // Top-20 character trigrams per language — the feature table under
     // llm_langid's n-gram heuristic. Gram generation is per-document
     // array arithmetic (map-only, ~3× the char stream absorbed by
-    // map-side partial counts); the rank window runs over the per-lang
+    // map-side partial counts); the TopKPerGroup heap cut runs over the per-lang
     // gram vocabulary (bounded by charset³), never the corpus.
     "llm_char_trigrams" -> ((s, dir) => {
       val g = Tables.documents(s, dir)

@@ -13,11 +13,12 @@ import graft.sources.Tables
   * between a curated corpus and a training job.
   *
   * Scale notes (100 TB):
-  *  - `llm_pack_sequences` windows per LANGUAGE, not globally — the
-  *    cumulative token count that drives concat-and-chunk packing is a
-  *    per-partition running sum, so each language packs independently
-  *    and in parallel (at 100 TB the partition key would be the shard:
-  *    same plan, finer key). No global ordering anywhere.
+  *  - `llm_pack_sequences` packs per LANGUAGE, not globally — the
+  *    cumulative token count that drives concat-and-chunk packing is
+  *    GlobalRank's distributed running sum (a 5-group partitioned
+  *    window would pin packing at 5 tasks; at 100 TB the partition
+  *    key would be the shard: same plan, finer groupsHint). No global
+  *    ordering anywhere.
   *  - `llm_shard_assign` / `llm_split_train` are map-only hash
   *    assignments followed by catalog-bounded aggregations (16 shards /
   *    3×|langs| strata) — the canonical "write N balanced outputs"

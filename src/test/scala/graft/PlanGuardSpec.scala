@@ -267,7 +267,16 @@ class PlanGuardSpec extends AnyFunSuite {
   // calendar/bucket-bounded) before reaching a corpus scan.
 
   /** Column names whose distinct-value count is fixed by the data model
-    * (independent of scale factor). */
+    * (independent of scale factor).
+    *
+    * HONEST LIMIT: the detector is name-based — a query that aliases a
+    * tiny key to a fresh name before the window would evade it (and a
+    * corpus-keyed column named like a tiny key would false-positive,
+    * surfacing loudly). Name discipline in this repo makes the set
+    * reliable in practice: tiny keys keep their table names or the
+    * documented aliases below, and the whitelist mechanism arbitrates
+    * disputes. A cardinality-exact guard would need runtime stats per
+    * window input, i.e. executing all 540 plans twice per build. */
   private val catalogTinyKeys = Set(
     "event_type", "flag", "l_returnflag", "l_linestatus", "p_brand",
     "brand", "lang", "o_orderstatus", "c_mktsegment", "mktsegment",
