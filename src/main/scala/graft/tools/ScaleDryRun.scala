@@ -387,10 +387,28 @@ object ScaleDryRun {
         Seq(col("value").asc, col("event_id").asc), groupsHint = 5)
         .where(col("rn") === col("n")).count()
     }
-    fewGroupRankShape(1) // warm
+    // the fused gaps-and-islands kernel (win_interval_union's shape):
+    // per-type interval merge over k× events — one range
+    // materialization feeding both prefix scans; wall time must track
+    // scan volume with parallelism never pinned at the 5 types
+    def islandShape(k: Int): Long = {
+      val e = Seq.range(0, k).map(i => events
+        .withColumn("event_id", col("event_id") * k + i))
+        .reduce(_ unionAll _)
+        .select(col("event_type"), col("event_id"),
+          expr("unix_micros(cast(ts as timestamp_ltz))").as("tus"))
+        .withColumn("en", col("tus") + lit(1800000000L))
+      graft.operators.GlobalRank.withIslandSeq(e, col("tus"), col("en"),
+          "pm", "isl", Seq(col("tus").asc, col("event_id").asc),
+          part = Seq("event_type"), groupsHint = 5)
+        .groupBy("event_type", "isl").agg(count(lit(1)))
+        .count()
+    }
+    fewGroupRankShape(1); islandShape(1) // warm
     for (k <- Seq(1, 2, 4, 8, 16, 32)) {
       val tg = time(fewGroupRankShape(k))
-      println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s")
+      val ti = time(islandShape(k))
+      println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s  islands=$ti%6.2f s")
     }
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
