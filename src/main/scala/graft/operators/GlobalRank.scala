@@ -93,6 +93,9 @@ object GlobalRank {
   private val BASE = "__gr_base"
   private val OFF = "__gr_off"
   private val BAD = "__gr_bad"
+  private val BRK = "__gr_brk"
+  private val BSUM = "__gr_bs"
+  private val BOFF = "__gr_bo"
 
   /** Upper bound on the derived range-partition count for GLOBAL
     * (unpartitioned) rank passes. Partitioned passes are bounded by
@@ -164,6 +167,26 @@ object GlobalRank {
         "monotonically_increasing_id's local offset overflowed into its " +
         "partition bits; raise the partition count"))).otherwise(onCol)
 
+  /** The shared first pass of every builder: range-partition on the
+    * sort key (explicit count — AQE leaves user-specified range
+    * repartitions alone, so pid ordering always equals key ordering),
+    * local sort, stamp `monotonically_increasing_id` plus the
+    * id-recovered range-slice id and the physical partition id, and
+    * materialize ONCE (see the object scaladoc for why the eager
+    * checkpoint is load-bearing: two lazy consumers of one
+    * `repartitionByRange` can re-sample different boundaries). Every
+    * builder derives its per-slice structure from this one frame, so
+    * the boundary-divergence-sensitive block lives in exactly one
+    * place. */
+  private def rangedFrame(tag: String, df: DataFrame,
+      sortExprs: Seq[Column], nPart: Int): DataFrame =
+    graft.tools.Materialize.eager(tag,
+      df.repartitionByRange(nPart, sortExprs: _*)
+        .sortWithinPartitions(sortExprs: _*)
+        .withColumn(MID, monotonically_increasing_id())
+        .withColumn(PHYS, spark_partition_id())
+        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+
   /** r8 verdict item 5: an unhinted partitioned call ASSUMES
     * [[AssumedGroupsNoHint]] groups for the width derivation — make
     * the assumption LOUD instead of silently over-broadcasting when it
@@ -201,17 +224,11 @@ object GlobalRank {
     val partCols = part.map(col)
     val sortExprs = partCols ++ order
     val nPart = rangePartitions(df, partitions, part.nonEmpty, groupsHint)
-    // explicit partition count: AQE leaves user-specified range
-    // repartitions alone, so pid ordering always equals key ordering.
-    // Materialized ONCE (see scaladoc) so the offsets branch and the
-    // stream branch cannot re-sample different range boundaries.
-    val ranged = graft.tools.Materialize.eager("global_rank.ranged",
-      df.repartitionByRange(nPart, sortExprs: _*)
-        .sortWithinPartitions(sortExprs: _*)
-        .withColumn(MID, monotonically_increasing_id())
-        .withColumn(PHYS, spark_partition_id())
-        .withColumn(PID, shiftright(col(MID), 33).cast("int"))
-        .withColumn(SEQ, col(MID).bitwiseAND(lit((1L << 33) - 1))))
+    // SEQ (the local offset) is a pure function of the checkpointed
+    // MID, so it is derived AFTER the shared materialization — one
+    // column less in checkpoint storage, identical values.
+    val ranged = rangedFrame("global_rank.ranged", df, sortExprs, nPart)
+      .withColumn(SEQ, col(MID).bitwiseAND(lit((1L << 33) - 1)))
     guardUnhintedGroups(ranged, part, groupsHint)
     // one row per (range slice, group): row count + first local offset.
     // Bounded by partitions × |groups| regardless of data scale. BAD
@@ -270,14 +287,7 @@ object GlobalRank {
     val partCols = part.map(col)
     val sortExprs = partCols ++ order
     val nPart = rangePartitions(df, partitions, part.nonEmpty, groupsHint)
-    // materialized once for the same two-branch boundary-divergence
-    // reason as withSeqAndCount (see object scaladoc)
-    val ranged = graft.tools.Materialize.eager("global_rank.prefix_scan",
-      df.repartitionByRange(nPart, sortExprs: _*)
-        .sortWithinPartitions(sortExprs: _*)
-        .withColumn(MID, monotonically_increasing_id())
-        .withColumn(PHYS, spark_partition_id())
-        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+    val ranged = rangedFrame("global_rank.prefix_scan", df, sortExprs, nPart)
     guardUnhintedGroups(ranged, part, groupsHint)
     val wLocal = Window.partitionBy(col(PID) +: partCols: _*)
       .orderBy(order: _*)
@@ -303,8 +313,16 @@ object GlobalRank {
     * running max of `endCol` strictly before the row in the total
     * `order` within each `part` group (NULL for each group's first
     * row), and `islCol` = the 1-based island id — the inclusive
-    * running count of island-opening rows (`startCol` > pmCol, or
-    * pmCol NULL, i.e. the row does not overlap any earlier interval).
+    * running count of island-opening rows.
+    *
+    * BOUNDARY CONTRACT: a row OPENS an island iff `startCol` > pmCol
+    * (or pmCol is NULL, i.e. the group's first row). Touching
+    * intervals — `startCol` == the running max of earlier `endCol`s —
+    * therefore MERGE into one island: closed-boundary [start, end]
+    * semantics, matching win_interval_union's spec and oracle (under a
+    * half-open [start, end) reading, touching intervals do not overlap
+    * and a caller wanting that split must pass `endCol - 1`, or an
+    * epsilon-decremented end, as `endCol`).
     *
     * Fuses `withRunningMaxBefore` + `withRunningSums` over a single
     * range materialization: one range shuffle + checkpoint instead of
@@ -320,12 +338,7 @@ object GlobalRank {
     val partCols = part.map(col)
     val sortExprs = partCols ++ order
     val nPart = rangePartitions(df, partitions, part.nonEmpty, groupsHint)
-    val ranged = graft.tools.Materialize.eager("global_rank.islands",
-      df.repartitionByRange(nPart, sortExprs: _*)
-        .sortWithinPartitions(sortExprs: _*)
-        .withColumn(MID, monotonically_increasing_id())
-        .withColumn(PHYS, spark_partition_id())
-        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+    val ranged = rangedFrame("global_rank.islands", df, sortExprs, nPart)
     guardUnhintedGroups(ranged, part, groupsHint)
     val wLocalExcl = Window.partitionBy(col(PID) +: partCols: _*)
       .orderBy(order: _*)
@@ -344,20 +357,19 @@ object GlobalRank {
       .withColumn(LMAX, max(endCol).over(wLocalExcl))
       .join(broadcast(maxOffsets), PID +: part)
       .withColumn(pmCol, greatest(col(LMAX), col(PMAX)))
-      .withColumn("__gr_brk",
+      .withColumn(BRK,
         when(col(pmCol).isNull || startCol > col(pmCol), 1L).otherwise(0L))
       .drop(LMAX, PMAX)
     val wLocalIncl = Window.partitionBy(col(PID) +: partCols: _*)
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sumOffsets = withPm.groupBy(col(PID) +: partCols: _*)
-      .agg(sum("__gr_brk").as("__gr_bs"))
-      .withColumn("__gr_bo",
-        coalesce(sum("__gr_bs").over(wPrefix), lit(0L)))
-      .select(col(PID) +: partCols :+ col("__gr_bo"): _*)
+      .agg(sum(BRK).as(BSUM))
+      .withColumn(BOFF, coalesce(sum(BSUM).over(wPrefix), lit(0L)))
+      .select(col(PID) +: partCols :+ col(BOFF): _*)
     withPm.join(broadcast(sumOffsets), PID +: part)
-      .withColumn(islCol, sum("__gr_brk").over(wLocalIncl) + col("__gr_bo"))
-      .drop(MID, PID, PHYS, "__gr_brk", "__gr_bo")
+      .withColumn(islCol, sum(BRK).over(wLocalIncl) + col(BOFF))
+      .drop(MID, PID, PHYS, BRK, BOFF)
   }
 
   /** `df` plus, for each `(valCol, runName, totName)` triple: `runName`
@@ -397,12 +409,7 @@ object GlobalRank {
     val partCols = part.map(col)
     val sortExprs = partCols ++ order
     val nPart = rangePartitions(df, partitions, part.nonEmpty, groupsHint)
-    val ranged = graft.tools.Materialize.eager("global_rank.runsum",
-      df.repartitionByRange(nPart, sortExprs: _*)
-        .sortWithinPartitions(sortExprs: _*)
-        .withColumn(MID, monotonically_increasing_id())
-        .withColumn(PHYS, spark_partition_id())
-        .withColumn(PID, shiftright(col(MID), 33).cast("int")))
+    val ranged = rangedFrame("global_rank.runsum", df, sortExprs, nPart)
     guardUnhintedGroups(ranged, part, groupsHint)
     val sliceAggs = vals.map { case (v, run, _) => sum(v).as(s"__gr_s_$run") } :+
       max(when(col(PID) =!= col(PHYS), 1).otherwise(0)).as(BAD)
