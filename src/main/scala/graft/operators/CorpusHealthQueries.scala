@@ -121,10 +121,10 @@ object CorpusHealthQueries {
     // synthetic text deviates hard. Rank ties break on the token so the
     // regression inputs are identical on both engines.
     "llm_zipf_slope" -> ((s, dir) => {
-      val tf = Tables.documents(s, dir)
-        .select(col("lang"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      // (lang, tok) counts roll up from the shared unigram ledger
+      // (r10 verdict item 6) — no fresh corpus tokenize
+      val tf = graft.tools.TokenArtifacts.byLang(s, dir)
+        .withColumnRenamed("cnt", "c")
       // per-lang rank over the corpus-vocabulary (lang, token) table:
       // GlobalRank (5 langs), the llm_token_gini shape
       GlobalRank.withSeqAndCount(tf, "rank", "__zs_n", Seq("lang"),

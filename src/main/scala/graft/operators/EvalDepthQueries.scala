@@ -118,13 +118,14 @@ object EvalDepthQueries {
     // top 5 per language. One explode + three keyed aggs; the rest-of-
     // corpus counts come from overall minus own (no second pass).
     "llm_odds_ratio" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("lang"), explode(toks).as("t"))
-      val kl = tok.groupBy("lang", "t").agg(count(lit(1)).as("k"))
-      val totl = tok.groupBy("lang").agg(count(lit(1)).as("tl"))
+      // all three count tables roll up from the shared unigram ledger
+      // (r10 verdict item 6) — vocab-scale rollups, no corpus re-pass
+      val lt = graft.tools.TokenArtifacts.byLang(s, dir)
+      val kl = lt.select(col("lang"), col("tok").as("t"), col("cnt").as("k"))
+      val totl = lt.groupBy("lang").agg(sum("cnt").as("tl"))
         .withColumn("ta", sum(col("tl")).over(Window.orderBy().rowsBetween(
           Window.unboundedPreceding, Window.unboundedFollowing)))
-      val kall = tok.groupBy("t").agg(count(lit(1)).as("ka"))
+      val kall = lt.groupBy(col("tok").as("t")).agg(sum("cnt").as("ka"))
       val scored = kl.join(broadcast(totl), "lang").join(kall, "t")
         .select(col("lang"), col("t"),
           round(log(((col("k") + lit(0.5)) / (col("tl") - col("k") + lit(0.5)))

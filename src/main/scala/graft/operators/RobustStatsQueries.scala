@@ -62,8 +62,11 @@ object RobustStatsQueries {
     // (lang_a < lang_b), vocab sizes broadcast back; everything past
     // the distinct is bounded by vocab × langs, not the corpus.
     "llm_lang_overlap" -> ((s, dir) => {
-      val lt = Tables.documents(s, dir)
-        .select(col("lang"), explode(toks).as("tok")).distinct()
+      // the distinct (lang, token) vocabulary IS the shared unigram
+      // ledger's lang-level key set (r10 verdict item 6) — no corpus
+      // re-pass; the vocab×vocab overlap join below is unchanged
+      val lt = graft.tools.TokenArtifacts.byLang(s, dir)
+        .select("lang", "tok")
       val inter = lt.select(col("lang").as("la"), col("tok"))
         .join(lt.select(col("lang").as("lb"), col("tok")), Seq("tok"))
         .where(col("la") < col("lb"))

@@ -40,12 +40,15 @@ object Round6bQueries {
     // a 5-row broadcast; each term is rounded to 8dp and
     // decimal-summed so the cross-shuffle sum is order-free.
     "llm_cross_entropy" -> ((s, dir) => {
-      val tf = Tables.documents(s, dir)
-        .select(col("lang"), (col("doc_id") % 2).as("half"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
+      // the ledger's `half` key (doc_id % 2) exists exactly for this
+      // split-half contrast — both halves' counts roll up from the
+      // shared unigram ledger (r10 verdict item 6)
+      val tf = graft.tools.TokenArtifacts.unigram(s, dir)
         .groupBy("lang", "tok")
-        .agg(count_if(col("half") === 0).as("ca"),
-          count_if(col("half") === 1).as("cb"))
+        .agg(sum(when(col("half") === 0, col("cnt")).otherwise(lit(0L)))
+            .as("ca"),
+          sum(when(col("half") === 1, col("cnt")).otherwise(lit(0L)))
+            .as("cb"))
       val tot = tf.groupBy("lang")
         .agg(sum("ca").as("na"), sum("cb").as("nb"), count(lit(1)).as("v"))
       val pa = (col("ca") + 1).cast(DoubleType) /
@@ -72,9 +75,9 @@ object Round6bQueries {
     // cnt desc, tok asc), coverage masses are exact integer sums with
     // one final double division.
     "llm_vocab_coverage" -> ((s, dir) => {
-      val cnts = Tables.documents(s, dir)
-        .select(explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // global (tok, cnt) table rolls up from the shared unigram
+      // ledger (r10 verdict item 6) — no fresh corpus tokenize
+      val cnts = graft.tools.TokenArtifacts.global(s, dir)
       val tot = cnts.agg(sum("cnt").as("total_tokens"),
         count(lit(1)).as("vocab_size"))
       GlobalRank.withSeq(cnts, "rn", Seq(col("cnt").desc, col("tok").asc))

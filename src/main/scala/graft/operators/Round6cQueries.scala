@@ -97,17 +97,20 @@ object Round6cQueries {
     // the probe is a map-side broadcast left join; ratios are
     // integer/integer single divisions.
     "llm_stopword_profile" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      val cnts = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      // both the stop-list cut and the per-source stop shares roll up
+      // from the shared unigram ledger (r10 verdict item 6): the old
+      // second corpus pass (token stream × top-20 join) becomes a
+      // vocab-scale ledger join — counts are exact, results identical
+      val st = graft.tools.TokenArtifacts.bySource(s, dir)
+      val cnts = st.groupBy("tok").agg(sum("cnt").as("cnt"))
       val top20 = GlobalRank
         .withSeq(cnts, "rn", Seq(col("cnt").desc, col("tok").asc))
         .where(col("rn") <= 20).select(col("tok").as("sw"))
-      tok.join(broadcast(top20), col("tok") === col("sw"), "left")
+      st.join(broadcast(top20), col("tok") === col("sw"), "left")
         .groupBy("source")
-        .agg(count(lit(1)).as("n_tokens"),
-          count_if(col("sw").isNotNull).as("stop_tokens"))
+        .agg(sum("cnt").as("n_tokens"),
+          sum(when(col("sw").isNotNull, col("cnt")).otherwise(lit(0L)))
+            .as("stop_tokens"))
         .select(col("source"), col("n_tokens"), col("stop_tokens"),
           (col("stop_tokens").cast(DoubleType) /
             col("n_tokens").cast(DoubleType)).as("stop_ratio"))

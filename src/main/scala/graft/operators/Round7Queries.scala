@@ -391,13 +391,18 @@ object Round7Queries {
     // are a 1-row broadcast; the top-25 cut orders by round(G², 6) with
     // a token tiebreak so libm ulps cannot reorder it.
     "llm_keyness_llr" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select((substring(col("source"), 4, 10).cast("int") <= 9).as("focus"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      val cnt = toks.groupBy("tok")
-        .agg(count_if(col("focus")).as("a"), count_if(!col("focus")).as("b"))
-      val tot = toks.agg(count_if(col("focus")).as("ta"),
-        count_if(!col("focus")).as("tb"))
+      // focus/reference token counts roll up from the shared unigram
+      // ledger (r10 verdict item 6): the focus flag is a function of
+      // the ledger's `source` key, so both contingency margins are
+      // vocab-scale rollups — no corpus re-pass
+      val st = graft.tools.TokenArtifacts.bySource(s, dir)
+        .withColumn("focus", substring(col("source"), 4, 10).cast("int") <= 9)
+      val cnt = st.groupBy("tok")
+        .agg(sum(when(col("focus"), col("cnt")).otherwise(lit(0L))).as("a"),
+          sum(when(!col("focus"), col("cnt")).otherwise(lit(0L))).as("b"))
+      val tot = st.agg(
+        sum(when(col("focus"), col("cnt")).otherwise(lit(0L))).as("ta"),
+        sum(when(!col("focus"), col("cnt")).otherwise(lit(0L))).as("tb"))
       def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
       def xlx(x: org.apache.spark.sql.Column, ex: org.apache.spark.sql.Column) =
         when(x > 0, d(x) * log(d(x) / ex)).otherwise(lit(0.0))

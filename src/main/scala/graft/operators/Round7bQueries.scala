@@ -72,13 +72,13 @@ object Round7bQueries {
     // round(·, 8)-then-decimal-summed; JSD additionally normalized by
     // ln2 into [0, 1].
     "llm_js_divergence" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("source"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      val cs = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
-      val ct = toks.groupBy("tok").agg(count(lit(1)).as("c_t"))
-      val ns = toks.groupBy(col("source").as("src2")).agg(count(lit(1)).as("n_s"))
-      val nt = toks.agg(count(lit(1)).as("n_t"))
+      // all four count tables roll up from the shared unigram ledger
+      // (r10 verdict item 6) — vocab-scale rollups, no corpus re-pass
+      val st = graft.tools.TokenArtifacts.bySource(s, dir)
+      val cs = st.select(col("source"), col("tok"), col("cnt").as("c_st"))
+      val ct = st.groupBy("tok").agg(sum("cnt").as("c_t"))
+      val ns = st.groupBy(col("source").as("src2")).agg(sum("cnt").as("n_s"))
+      val nt = st.agg(sum("cnt").as("n_t"))
       def d(c: org.apache.spark.sql.Column) = c.cast(DoubleType)
       val terms = cs
         .join(ct, "tok")

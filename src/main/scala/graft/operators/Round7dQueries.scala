@@ -158,9 +158,15 @@ object Round7dQueries {
         .select(col("doc_id"), col("lang"),
           explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
         .withColumn("b", hash60(col("tok")) % 128)
-      val raw = toks.groupBy("b").agg(count(lit(1)).as("cr"))
-      val tgt = toks.where(col("lang") === "en")
-        .groupBy(col("b").as("b2")).agg(count(lit(1)).as("ct"))
+      // the 128-bucket hashed-unigram LM counts roll up from the
+      // shared unigram ledger (r10 verdict item 6): the bucket is a
+      // function of the ledger's token key, so only the final per-doc
+      // scoring pass still reads the corpus token stream
+      val lt = graft.tools.TokenArtifacts.byLang(s, dir)
+        .withColumn("b", hash60(col("tok")) % 128)
+      val raw = lt.groupBy("b").agg(sum("cnt").as("cr"))
+      val tgt = lt.where(col("lang") === "en")
+        .groupBy(col("b").as("b2")).agg(sum("cnt").as("ct"))
       val wAll = Window.partitionBy()
       val lm = raw.join(tgt, col("b") === col("b2"), "left")
         .select(col("b"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))

@@ -84,10 +84,10 @@ object Round8fQueries {
     // (Σ m²·V_m ≡ Σ_tokens cnt²) and S = V₂/V — the token-keyed
     // richness pair; the shuffle scales with vocabulary, not docs.
     "llm_yule_k" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("lang"), explode(filter(split(col("text"), " "),
-          t => t =!= "")).as("token"))
-      val freq = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      // frequency spectrum rolls up from the shared unigram ledger
+      // (r10 verdict item 6) — no fresh corpus tokenize
+      val freq = graft.tools.TokenArtifacts.byLang(s, dir)
+        .withColumnRenamed("tok", "token")
       freq.groupBy("lang")
         .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("vocab"),
           sum(col("cnt") * col("cnt")).as("s2"),

@@ -103,10 +103,10 @@ object Round8mQueries {
     // everything becomes hapax; guarded to NULL at V₁ = V). Exact
     // integer N/V/V₁, one ln, one division, 4dp.
     "llm_honore_r" -> ((s, dir) => {
-      val tok = Tables.documents(s, dir)
-        .select(col("lang"), explode(filter(split(col("text"), " "),
-          t => t =!= "")).as("token"))
-      val freq = tok.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      // frequency spectrum rolls up from the shared unigram ledger
+      // (r10 verdict item 6) — no fresh corpus tokenize
+      val freq = graft.tools.TokenArtifacts.byLang(s, dir)
+        .withColumnRenamed("tok", "token")
       freq.groupBy("lang")
         .agg(sum("cnt").as("n_tokens"), count(lit(1)).as("vocab"),
           sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("v1"))

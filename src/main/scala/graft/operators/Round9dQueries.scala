@@ -25,12 +25,11 @@ object Round9dQueries {
 
   private def d(c: Column): Column = c.cast(DoubleType)
 
-  /** (lang, tok, cnt) token frequency table. */
+  /** (lang, tok, cnt) token frequency table — a rollup of the shared
+    * unigram ledger (exact integer counts, so identical to tokenizing
+    * directly; see [[graft.tools.TokenArtifacts]]). */
   private def tf(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("lang"),
-        explode(filter(split(col("text"), " "), t => t =!= "")).as("tok"))
-      .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    graft.tools.TokenArtifacts.byLang(s, dir)
 
   private val tfSql =
     """tf AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt

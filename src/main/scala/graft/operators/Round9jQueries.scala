@@ -30,16 +30,12 @@ object Round9jQueries {
     // of each doc-third (start/middle/end) owned by each top token —
     // boilerplate headers/footers show up as start/end spikes.
     "llm_positional_bias" -> ((s, dir) => {
-      // aggregate the corpus-sized token stream ONCE; every further
-      // branch (top-5, bucket totals, shares) reads the vocab·3-row
-      // materialization instead of re-tokenizing the corpus
-      val g = graft.tools.Materialize.eager("posbias.g",
-        Tables.documents(s, dir)
-          .select(posexplode(filter(split(col("text"), " "), t => t =!= ""))
-            .as(Seq("pos", "tok")),
-            size(filter(split(col("text"), " "), t => t =!= "")).as("len"))
-          .withColumn("bucket", expr("(3 * pos) div len"))
-          .groupBy("tok", "bucket").agg(count(lit(1)).as("n")))
+      // (tok, doc-third) counts roll up from the shared unigram ledger
+      // (r10 verdict item 6): the `bucket` key is part of the ledger's
+      // grain precisely for this profile, so the query is vocab-scale
+      // arithmetic — no fresh corpus tokenize+shuffle
+      val g = graft.tools.TokenArtifacts.unigram(s, dir)
+        .groupBy("tok", "bucket").agg(sum("cnt").as("n"))
       val top5 = g.groupBy("tok").agg(sum("n").cast("long").as("nt"))
         .orderBy(col("nt").desc, col("tok").asc).limit(5)
         .select("tok")
@@ -116,17 +112,28 @@ object Round9jQueries {
       // one combiner-friendly corpus aggregation to a ledger far
       // smaller than the fact table — then GlobalRank's distributed
       // running count over the ledger picks the low median (the value
-      // at rank (n+1) DIV 2 is tiebreak-invariant).
-      def medOf(v: String): DataFrame = {
-        val ledger = li.groupBy("flag", v).agg(count(lit(1)).as("cnt"))
-        GlobalRank.withRunningSums(ledger, Seq((col("cnt"), "hi", "nn")),
-            Seq("flag"), Seq(col(v).asc), groupsHint = 3)
-          .groupBy("flag")
-          .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col(v)))
-            .as(s"m$v"))
-      }
-      li.join(broadcast(medOf("x")), Seq("flag"))
-        .join(broadcast(medOf("y")), Seq("flag"))
+      // at rank (n+1) DIV 2 is tiebreak-invariant). Both axes ride ONE
+      // fused pass (r10 verdict item 1): explode each row into its
+      // (axis, value) pair — one lineitem scan, not two — count into a
+      // single (flag, axis, value) ledger, run ONE withRunningSums
+      // with part=(flag, axis) (6 groups → one range shuffle + one
+      // eager checkpoint instead of two), and pivot the 6 medians back
+      // to (flag, mx, my) for the broadcast bind.
+      val ledger = li
+        .select(col("flag"),
+          explode(map(lit("x"), col("x"), lit("y"), col("y"))))
+        .withColumnRenamed("key", "axis").withColumnRenamed("value", "v")
+        .groupBy("flag", "axis", "v").agg(count(lit(1)).as("cnt"))
+      val med = GlobalRank.withRunningSums(ledger,
+          Seq((col("cnt"), "hi", "nn")),
+          Seq("flag", "axis"), Seq(col("v").asc), groupsHint = 6)
+        .groupBy("flag", "axis")
+        .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col("v")))
+          .as("m"))
+        .groupBy("flag")
+        .agg(max(when(col("axis") === "x", col("m"))).as("mx"),
+          max(when(col("axis") === "y", col("m"))).as("my"))
+      li.join(broadcast(med), Seq("flag"))
         .where(col("x") =!= col("mx") && col("y") =!= col("my"))
         .groupBy("flag")
         .agg(count(lit(1)).as("n"),

@@ -1,0 +1,82 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Build-once memo for the corpus UNIGRAM FREQUENCY LEDGER — the
+  * persisted vocabulary table of a curation pipeline.
+  *
+  * At 100 TB, "tokenize the corpus" is a pipeline STAGE, not a
+  * per-query prefix: the (slice keys, token) → count ledger is written
+  * once (it is Heaps-sublinear in corpus size — vocabulary times a
+  * handful of catalog-bounded slice keys) and every lexical statistic
+  * — Zipf fits, keyness, divergences, vocabulary coverage, frequency
+  * Gini — is a ledger ROLLUP, not a fresh 100 TB tokenize+shuffle.
+  * Before round 11 each of the ~15 unigram-statistic queries re-ran
+  * the full corpus pass (r10 verdict item 6); this memo gives the
+  * harness the production access pattern, exactly as the ANN probes
+  * read the memoized codebook and the dedup evals read
+  * [[PairArtifacts]]' pair lists.
+  *
+  * Ledger key: (lang, source, half, bucket, tok) where
+  * `half` = doc_id % 2 (the split-half key llm_cross_entropy
+  * contrasts) and `bucket` = (3·pos) div len ∈ {0,1,2} (the doc-third
+  * position key llm_positional_bias profiles) — both catalog-bounded,
+  * so the ledger is ≤ |langs|·|sources|·6 × vocabulary rows. Every
+  * consumer rolls up the exact integer `cnt` over the keys it ignores;
+  * counts are associative, so each rollup equals the consumer's
+  * pre-r11 direct aggregation bit-for-bit, and the DuckDB oracles
+  * (which still tokenize from raw text) stay hash-green.
+  *
+  * NOT servable from this ledger, by design: doc-keyed statistics
+  * (hapax share, OOV rate, per-doc logprob — they need the (doc_id,
+  * tok) stream), n-gram surfaces (bigrams, skip-grams, char trigrams
+  * — different token universe), and llm_heavy_hitters (its declared
+  * sketch tokenizes WITHOUT the empty filter). Those keep their own
+  * corpus passes.
+  *
+  * Bench/guard interplay is inherited from [[IndexCache]]: the warm-up
+  * populates the memo, `Bench` clears it so the first TIMED consumer
+  * pays the one build (attributed separately in bench_out.json),
+  * `PlanCapture.enable()` clears it so PlanGuardSpec audits a fresh
+  * build, and DeterminismSpec's double-run rebuilds per run.
+  */
+object TokenArtifacts {
+
+  /** Whitespace tokens with empties dropped — the one corpus
+    * tokenization rule (SURVEY §7.2). */
+  private def toks = filter(split(col("text"), " "), t => t =!= "")
+
+  /** The (lang, source, half, bucket, tok) → cnt unigram ledger for
+    * `dir`, built on first use and materialized (eager checkpoint —
+    * the exactly-once pipeline-intermediate shape). */
+  def unigram(s: SparkSession, dir: String): DataFrame =
+    IndexCache.cached(s, s"tokens.unigram:$dir") {
+      Materialize.eager("tokens.unigram",
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            (col("doc_id") % 2).as("half"), size(toks).as("len"),
+            posexplode(toks).as(Seq("pos", "tok")))
+          .withColumn("bucket", expr("(3 * pos) div len"))
+          .groupBy("lang", "source", "half", "bucket", "tok")
+          .agg(count(lit(1)).as("cnt")))
+    }
+
+  /** (lang, tok) → cnt rollup — the per-language term-frequency table
+    * (token Gini / mean word rank / legomena / Zipf / Yule-K /
+    * Honoré-R / odds-ratio family). */
+  def byLang(s: SparkSession, dir: String): DataFrame =
+    unigram(s, dir).groupBy("lang", "tok").agg(sum("cnt").as("cnt"))
+
+  /** (source, tok) → cnt rollup — the per-source table (JS divergence,
+    * stopword profile, keyness). */
+  def bySource(s: SparkSession, dir: String): DataFrame =
+    unigram(s, dir).groupBy("source", "tok").agg(sum("cnt").as("cnt"))
+
+  /** (tok) → cnt rollup — the corpus-global table (vocab coverage,
+    * stop-list cuts, rest-of-corpus denominators). */
+  def global(s: SparkSession, dir: String): DataFrame =
+    unigram(s, dir).groupBy("tok").agg(sum("cnt").as("cnt"))
+}
