@@ -287,15 +287,35 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Grouping-key names that bound an aggregate's cardinality: the
     * catalog-tiny set plus calendar / fixed-bucket derivations (a
     * per-(type, day) aggregate grows with the time span, never the row
-    * count; a decile/band/digit/shard key is constant-width). */
+    * count; a decile/band/digit/shard key is constant-width).
+    *
+    * HONEST LIMIT (same name-based caveat as [[catalogTinyKeys]]):
+    * these are NAMES, not cardinalities — a corpus-scaled grouping key
+    * that reuses one of them would silently pass (false negative), a
+    * scale-bounded key under a fresh name fails loudly and lands in
+    * the whitelist discussion. To keep the false-negative surface
+    * small, single-letter entries REQUIRE a digit suffix (k2, b0, r1 —
+    * the fixed-bucket loop-variable idiom); the bare short names this
+    * repo actually uses as bounded keys live in [[boundedAliasKeys]]
+    * with their defining queries, so each is reviewable. */
   private val boundedGroupKey =
     ("""^(day|week|month|quarter|year|date|dt|hour|ts_h|tsb|bucket|band|
-       |bin|decile|digit|shard|cell|grid|gc|cfg|k|half|stage|step|round|
-       |pos|lag|dim|b|r)\d*$""".stripMargin.replaceAll("\n|\\s", "")).r
+       |bin|decile|digit|shard|cell|grid|gc|cfg|stage|step|round|
+       |lag|dim)\d*$|^(k|b|r)\d+$""".stripMargin.replaceAll("\n|\\s", "")).r
+
+  /** Bare bounded-key aliases in actual use (r10 advice: trimmed from
+    * the regex's single-letter `\d*` entries; each name documents the
+    * shape that relies on it). `k`: the fixed probe/band/bucket-count
+    * dimension of the eval grids (llm_lsh_tuning's band configs,
+    * llm_vocab_coverage's {100,1k,10k} cut, llm_seq_len_tradeoff);
+    * `pos`: the 3-bucket doc-third / fixed n-gram offset position
+    * keys; `half`: the two-arm season/period split (also in
+    * catalogTinyKeys for window PARTITION keys). */
+  private val boundedAliasKeys = Set("k", "pos", "half")
 
   private def isBoundedKeyName(n: String): Boolean =
-    catalogTinyKeys.contains(n) || boundedGroupKey.matches(n) ||
-      n.startsWith("__gr_")
+    catalogTinyKeys.contains(n) || boundedAliasKeys.contains(n) ||
+      boundedGroupKey.matches(n) || n.startsWith("__gr_")
 
   import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
   import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
@@ -305,11 +325,16 @@ class PlanGuardSpec extends AnyFunSuite {
   /** Calendar / fixed-width-bucket derivations: grouping on one bounds
     * the aggregate by the time span (or the bucket count), never the
     * row count. Catalyst inlines these as `_groupingexpression` keys,
-    * so they are recognized by the DEFINING expression, not the name. */
+    * so they are recognized by the DEFINING expression, not the name.
+    * Each token is anchored to its CALL syntax — `month(`, not the
+    * bare substring `month` — so a column merely NAMED like a calendar
+    * function (e.g. a corpus-keyed `monthly_id`) cannot false-negative
+    * its way past the guard (r10 advice). */
   private val boundedDerivation =
-    ("dayofmonth|dayofweek|dayofyear|weekofyear|month|year|quarter|" +
-      "hour|minute|date_trunc|to_date|date_format|unix_date|isodow|" +
-      "weekday|as date\\)|window|ntile|width_bucket").r
+    ("dayofmonth\\(|dayofweek\\(|dayofyear\\(|weekofyear\\(|month\\(|" +
+      "year\\(|quarter\\(|hour\\(|minute\\(|date_trunc\\(|to_date\\(|" +
+      "date_format\\(|unix_date\\(|isodow\\(|weekday\\(|as date\\)|" +
+      "window\\(|ntile\\(|width_bucket\\(").r
 
   /** Alias definitions (exprId → child expression) in a plan subtree —
     * used to resolve `_groupingexpression#N` keys back to what they

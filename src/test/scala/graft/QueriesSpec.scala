@@ -143,9 +143,12 @@ class QueriesSpec extends AnyFunSuite {
       val df = fn(spark, sf0001)
       assert(df.columns.nonEmpty)
       val bad = df.schema.fields.filterNot(f => inEnvelope(f.dataType))
+      // the failure text derives from provenLeafTypes so it can never
+      // drift from the actual envelope (r10 advice)
       assert(bad.isEmpty,
-        s"$name emits output dtypes outside the driver-proven envelope " +
-          s"{long,int,double,string,timestamp,boolean,date,array-of-those}: " +
+        s"$name emits output dtypes outside the driver-proven envelope {" +
+          provenLeafTypes.map(_.sql.toLowerCase).toSeq.sorted.mkString(",") +
+          ",array-of-those}: " +
           bad.map(f => s"${f.name}: ${f.dataType.sql}").mkString(", ") +
           " — cast to the display form at the output edge (r9 verdict)")
       assert(df.count() >= 0)
