@@ -280,4 +280,62 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows("2024-01-02 00:00:00.0") == 1L, s"got $rows")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT OUTER join emits null-padded rows only on watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    // The outer-join null-emission contract (r10 verdict item 3, the
+    // last uncovered standard stateful-streaming behavior): a LEFT
+    // OUTER stream-stream join emits matches as they arrive, but an
+    // UNMATCHED left row is held in state — it can only be emitted
+    // null-padded once the watermark proves no future right row can
+    // satisfy the time bound, at which point its state is evicted.
+    // Both sides watermarked + an event-time range bound are REQUIRED
+    // (same eviction preconditions as the inner interval join above).
+    val c = clicks.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val b = buys.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("amount"))
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ssleft_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(ts("2024-01-01 10:00:00"), 1, 0.0),
+        Ev(ts("2024-01-01 10:00:00"), 2, 0.0))
+      buys.addData(Ev(ts("2024-01-01 10:30:00"), 1, 9.99))
+      q.processAllAvailable()
+      // matched row flows immediately; user 2 is withheld — a match
+      // could still arrive until the watermark passes 11:00
+      val early = spark.table("ssleft_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+      assert(early.toSet == Set((1L, 9.99)), s"got ${early.toSet}")
+      // advance BOTH watermarks (global watermark = min of inputs)
+      // far past user 2's join window [10:00, 11:00]; the 14:xx rows
+      // use disjoint users so they add no matches of their own
+      clicks.addData(Ev(ts("2024-01-01 14:00:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:00:00"), 99, 1.0))
+      q.processAllAvailable()
+      // one more micro-batch so the post-batch watermark update
+      // triggers the eviction scan deterministically
+      clicks.addData(Ev(ts("2024-01-01 14:05:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:05:00"), 99, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ssleft_out").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
+        .toSeq
+      // user 2 now appears exactly once, null-padded (state evicted);
+      // user 1's match is NOT re-emitted; the in-horizon 98/14:xx
+      // clicks are still withheld (their windows have not expired)
+      assert(rows.count(_._1 == 2L) == 1, s"got $rows")
+      assert(rows.contains((2L, null)), s"got $rows")
+      assert(rows.count(_._1 == 1L) == 1, s"got $rows")
+      assert(!rows.exists(_._1 == 98L), s"got $rows")
+    } finally q.stop()
+  }
 }
