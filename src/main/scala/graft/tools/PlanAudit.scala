@@ -123,7 +123,10 @@ object PlanAudit {
       "agg_quadrant_corr", "agg_median_mad", "agg_weighted_median",
       "llm_pack_sequences", "win_running_distinct", "llm_odds_ratio",
       "llm_sample_stratified", "llm_zipf_slope", "agg_trimmed_mean",
-      "agg_order_cycle", "agg_price_dispersion", "agg_bowley_skew")
+      "agg_order_cycle", "agg_price_dispersion", "agg_bowley_skew",
+      // round-11: unigram-ledger consumers (one shared tokenize, every
+      // lexical stat a vocab-scale rollup) + the fused quadrant kernel
+      "llm_stopword_profile", "llm_keyness_llr", "llm_dsir_weights")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the
@@ -150,6 +153,43 @@ object PlanAudit {
         .distinct.size
       println(s"== $name (whole-stage-codegen spans: $wsc)")
       facts.foreach(f => println(s"   $f"))
+    }
+
+    // ---- runtime bloom-filter join pruning audit (r10 verdict
+    // "missing" item 4). Spark 4's InjectRuntimeFilter can bloom-prune
+    // the probe side of a shuffle join before the shuffle — material
+    // for the fact-fact joins at lake scale. The rule is gated by SIZE
+    // thresholds (creation side below creationSideThreshold,
+    // application side above applicationSideScanSizeThreshold = 10 GB),
+    // so at sf0.1 it can never fire on real sizes; this audit reports
+    // the session default, then FORCES the thresholds open so the plan
+    // shows whether the rule structurally applies to our join shapes —
+    // i.e. what the plan would look like once the probe scan crosses
+    // 10 GB on a cluster.
+    val bloomTargets = Seq("join_bucketed", "join_cosupplier_pairs",
+      "llm_decontaminate", "llm_ngram_novelty")
+    println("== [bloom] runtime.bloomFilter.enabled session default = " +
+      spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"))
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    graft.tools.IndexCache.clear() // audit fresh artifact builds too
+    for (name <- bloomTargets) {
+      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+      try qe.executedPlan.execute().count() catch {
+        case e: Throwable =>
+          System.err.println(s"[planaudit] $name (bloom) failed: ${e.getMessage}")
+      }
+      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+      val hits = plan.linesIterator.map(_.trim)
+        .filter(l => l.toLowerCase.contains("bloomfilter")
+          || l.toLowerCase.contains("might_contain"))
+        .map(_.take(160)).toSeq.distinct
+      println(s"== [bloom] $name runtime-filter-injected=${hits.nonEmpty}")
+      hits.take(8).foreach(h => println(s"   $h"))
     }
     spark.stop()
   }

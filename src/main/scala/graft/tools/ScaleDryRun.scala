@@ -410,6 +410,55 @@ object ScaleDryRun {
       val ti = time(islandShape(k))
       println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s  islands=$ti%6.2f s")
     }
+    // the distinct-value LEDGER-MEDIAN idiom (agg_mood_median /
+    // agg_quadrant_corr's fused r11 kernel): a corpus-wide
+    // (flag, axis, value) count ledger — one combiner-friendly
+    // aggregation — then one running-count rank over the ledger. The
+    // per-replica `*k + i` value bijection makes the DISTINCT domain
+    // grow k-linearly (worst case: the ledger compresses nothing), so
+    // this decade proves the ledger BUILD stays scan-bounded and the
+    // GlobalRank pass stays ledger-bounded even when the ledger is as
+    // large as the fact table (r10 verdict "missing" item 3)
+    def ledgerMedianShape(k: Int): Long = {
+      val l = Seq.range(0, k).map(i => li
+        .select(col("l_returnflag").as("flag"),
+          (col("l_quantity").cast(DecimalType(18, 0)).cast("long") * k + i)
+            .as("x"),
+          ((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(DecimalType(18, 0)).cast("long") * k + i).as("y")))
+        .reduce(_ unionAll _)
+      val ledger = l.select(col("flag"),
+          explode(map(lit("x"), col("x"), lit("y"), col("y"))))
+        .withColumnRenamed("key", "axis").withColumnRenamed("value", "v")
+        .groupBy("flag", "axis", "v").agg(count(lit(1)).as("cnt"))
+      graft.operators.GlobalRank.withRunningSums(ledger,
+          Seq((col("cnt"), "hi", "nn")),
+          Seq("flag", "axis"), Seq(col("v").asc), groupsHint = 6)
+        .groupBy("flag", "axis")
+        .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col("v"))))
+        .count()
+    }
+    ledgerMedianShape(1) // warm
+    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+      val tm = time(ledgerMedianShape(k))
+      println(f"[scale_r11] k=$k%2d  ledger_median=$tm%6.2f s")
+    }
+    // GlobalRank's RELIABLE-checkpoint path at scale (r10 verdict
+    // "next round" item 7): the durable `Dataset.checkpoint` route a
+    // cluster run uses (ReliableCheckpointSpec pins its correctness;
+    // this decade measures its constant factor). Same few-group rank
+    // kernel as [scale_r10], so the two columns are directly
+    // comparable — the delta is the price of writing the ranged frame
+    // to the checkpoint dir and reading it back.
+    spark.sparkContext.setCheckpointDir("/tmp/graft_scale_ckpt")
+    spark.conf.set(graft.tools.Materialize.ReliableFlag, "true")
+    try {
+      fewGroupRankShape(1) // warm the reliable path
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        val tg = time(fewGroupRankShape(k))
+        println(f"[scale_r11_reliable] k=$k%2d  fewgroup_rank=$tg%6.2f s")
+      }
+    } finally spark.conf.set(graft.tools.Materialize.ReliableFlag, "false")
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
     for (k <- Seq(8)) {
