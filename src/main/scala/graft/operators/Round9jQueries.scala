@@ -107,33 +107,44 @@ object Round9jQueries {
           (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
             .cast(DecimalType(18, 0)).cast("long").as("y"))
       // raw lineitem through a 3-group window would pin parallelism at
-      // 3 single-task partitions. The distinct-value running-count
-      // median idiom (agg_mood_median): per-(flag, value) counts —
-      // one combiner-friendly corpus aggregation to a ledger far
-      // smaller than the fact table — then GlobalRank's distributed
-      // running count over the ledger picks the low median (the value
-      // at rank (n+1) DIV 2 is tiebreak-invariant). Both axes ride ONE
-      // fused pass (r10 verdict item 1): explode each row into its
-      // (axis, value) pair — one lineitem scan, not two — count into a
-      // single (flag, axis, value) ledger, run ONE withRunningSums
-      // with part=(flag, axis) (6 groups → one range shuffle + one
-      // eager checkpoint instead of two), and pivot the 6 medians back
-      // to (flag, mx, my) for the broadcast bind.
-      val ledger = li
-        .select(col("flag"),
-          explode(map(lit("x"), col("x"), lit("y"), col("y"))))
-        .withColumnRenamed("key", "axis").withColumnRenamed("value", "v")
-        .groupBy("flag", "axis", "v").agg(count(lit(1)).as("cnt"))
-      val med = GlobalRank.withRunningSums(ledger,
-          Seq((col("cnt"), "hi", "nn")),
-          Seq("flag", "axis"), Seq(col("v").asc), groupsHint = 6)
-        .groupBy("flag", "axis")
-        .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col("v")))
-          .as("m"))
+      // 3 single-task partitions, so each axis takes the cheapest
+      // scale-safe path its VALUE DOMAIN allows (r11; the r10 form ran
+      // both axes through one distinct-value ledger, but the y axis is
+      // NEAR-UNIQUE — 594k distinct centi prices in 600k rows at
+      // sf0.1 — so the ledger compressed nothing there and its
+      // fact-sized hash aggregation was the plan's real cost):
+      //
+      // x (quantity, ≤50 distinct per flag): a map-side-combined
+      // 150-row ledger, running counts via a bounded broadcast
+      // self-join (xb <= x) — no window, no checkpoint, no rank pass.
+      val lx = li.groupBy("flag", "x").agg(count(lit(1)).as("cnt"))
+      val lb = lx.select(col("flag").as("fb"), col("x").as("xb"),
+        col("cnt").as("cb"))
+      val cum = lx.select("flag", "x")
+        .join(broadcast(lb), col("flag") === col("fb") && col("xb") <= col("x"))
+        .groupBy("flag", "x").agg(sum("cb").as("hi"))
+      val nn = cum.groupBy(col("flag").as("fn")).agg(max("hi").as("nn"))
+      val xmed = cum.join(broadcast(nn), col("flag") === col("fn"))
         .groupBy("flag")
-        .agg(max(when(col("axis") === "x", col("m"))).as("mx"),
-          max(when(col("axis") === "y", col("m"))).as("my"))
-      li.join(broadcast(med), Seq("flag"))
+        .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col("x")))
+          .as("mx"))
+      // y (centi price, near-unique): rank the fact rows DIRECTLY with
+      // GlobalRank (the line's unique key totalizes the order) and
+      // pick the value at rank (nn+1) DIV 2 — the low median,
+      // tie-permutation-invariant since rows straddling the rank share
+      // the value. One range shuffle + one eager checkpoint; the
+      // withSeqAndCount stream side is broadcast-join-only (no pid
+      // reshuffle, no window), and no fact-sized hash map anywhere.
+      val ymed = GlobalRank.withSeqAndCount(
+          li.select(col("flag"), col("l_orderkey"), col("l_linenumber"),
+            col("y")),
+          "rn", "ny", Seq("flag"),
+          Seq(col("y").asc, col("l_orderkey").asc, col("l_linenumber").asc),
+          groupsHint = 3)
+        .where(col("rn") === expr("(ny + 1) DIV 2"))
+        .select(col("flag").as("fy"), col("y").as("my"))
+      li.join(broadcast(xmed), Seq("flag"))
+        .join(broadcast(ymed), col("flag") === col("fy"))
         .where(col("x") =!= col("mx") && col("y") =!= col("my"))
         .groupBy("flag")
         .agg(count(lit(1)).as("n"),

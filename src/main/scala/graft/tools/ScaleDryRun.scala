@@ -410,10 +410,11 @@ object ScaleDryRun {
       val ti = time(islandShape(k))
       println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s  islands=$ti%6.2f s")
     }
-    // the distinct-value LEDGER-MEDIAN idiom (agg_mood_median /
-    // agg_quadrant_corr's fused r11 kernel): a corpus-wide
-    // (flag, axis, value) count ledger — one combiner-friendly
-    // aggregation — then one running-count rank over the ledger. The
+    // the distinct-value LEDGER-MEDIAN idiom (agg_mood_median's
+    // kernel, and agg_quadrant_corr's low-cardinality x axis): a
+    // corpus-wide (flag, axis, value) count ledger — one
+    // combiner-friendly aggregation — then one running-count rank
+    // over the ledger. The
     // per-replica `*k + i` value bijection makes the DISTINCT domain
     // grow k-linearly (worst case: the ledger compresses nothing), so
     // this decade proves the ledger BUILD stays scan-bounded and the
