@@ -120,23 +120,33 @@ object CurationQueries {
     // partials would be a cross-row DOUBLE sum whose accumulation order
     // is nondeterministic; per-term rows keep every float op row-local
     // and IEEE-reproducible (the caller sums after rounding if they want
-    // a total). Shapes: explode + two keyed aggs + one 3-row term join;
+    // a total). Shapes (r12): per-doc tf for the 3 fixed terms is
+    // computed MAP-ONLY (size(filter(tk, = term)) per term — no
+    // corpus-token explode+shuffle; the pre-r12 form shuffled every
+    // token of every doc to count 3 terms), df comes from the
+    // persisted document-frequency ledger as a 3-row broadcast, and
     // n_docs/avgdl ride in on a single-row cross join.
     "llm_bm25" -> ((s, dir) => {
       val terms = Seq("data", "table", "row")
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"),
-          size(filter(split(col("text"), " "), t => t =!= ""))
-            .cast("double").as("dl"))
+          filter(split(col("text"), " "), t => t =!= "").as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("double").as("dl"),
+          col("tk"))
       val globals = docs.agg(count(lit(1)).as("n_docs"),
         avg(col("dl")).as("avgdl"))
-      val tf = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          explode(filter(split(col("text"), " "), t => t =!= "")).as("t"))
-        .where(col("t").isin(terms: _*))
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
-      tf.join(dfreq, "t").join(docs, "doc_id").crossJoin(globals)
+      val tf = docs
+        .select(col("doc_id"), col("dl"),
+          explode(array(terms.map(t => struct(lit(t).as("t"),
+            size(filter(col("tk"), x => x === lit(t))).cast("long")
+              .as("tf"))): _*)).as("e"))
+        .select(col("doc_id"), col("dl"),
+          col("e.t").as("t"), col("e.tf").as("tf"))
+        .where(col("tf") > 0)
+      val dfreq = graft.tools.TokenArtifacts.dfGlobal(s, dir)
+        .where(col("tok").isin(terms: _*))
+        .select(col("tok").as("t"), col("ndoc").as("df"))
+      tf.join(broadcast(dfreq), "t").crossJoin(broadcast(globals))
         .select(col("doc_id"), col("t").as("term"), col("tf"),
           round(
             log((col("n_docs").cast("double") - col("df") + lit(0.5))

@@ -137,15 +137,24 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // tf only needs the 20 REPORTED docs, so the tokenize+count runs
+    // over those 20 rows (filter pushed to the scan), while the
+    // corpus-wide df comes from the persisted document-frequency
+    // ledger (r12) — the pre-r12 form tokenized and shuffled the WHOLE
+    // corpus twice (tf then df) to report 20 documents. Tokenization
+    // is the one corpus rule (whitespace, empties dropped) on both
+    // sides — ledger, tf, and the DuckDB oracle agree by construction.
     "llm_tfidf_topterms" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val tf = d.where(col("doc_id") < 20)
+        .select(col("doc_id"),
+          explode(filter(split(col("text"), " "), t => t =!= "")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dft = graft.tools.TokenArtifacts.dfGlobal(s, dir)
+        .select(col("tok").as("term"), col("ndoc").as("df"))
       val n = d.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
-      tf.where(col("doc_id") < 20)
-        .join(dft, "term").crossJoin(broadcast(n))
+      dft.join(broadcast(tf), "term").crossJoin(broadcast(n))
         .withColumn("tfidf", col("tf") * log(col("n_docs").cast("double") / col("df")))
         .withColumn("rn", row_number().over(w).cast("long"))
         .where(col("rn") <= 5)
@@ -211,7 +220,9 @@ object LlmQueries {
       |SELECT a_id AS vec_id, b_id AS nn_id, cos_sim FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   private val tfidfOracle =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) term
+      |  FROM documents),
       |tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
       |dft AS (SELECT term, count(*) df FROM tf GROUP BY 1),
       |n AS (SELECT count(*) n_docs FROM documents),

@@ -118,8 +118,23 @@ object Round9jQueries {
       // 150-row ledger, running counts via a bounded broadcast
       // self-join (xb <= x) — no window, no checkpoint, no rank pass.
       val lx = li.groupBy("flag", "x").agg(count(lit(1)).as("cnt"))
+      // The broadcast self-join below is O(d^2) rows per flag — safe
+      // ONLY because quantity's domain is catalog-tiny (<=50 values per
+      // flag). Enforce that assumption at runtime (r11 ADVICE): the
+      // unpartitioned count window runs over the AGGREGATED ledger (a
+      // bounded intermediate, the class PlanGuard permits), and the
+      // guard is folded into `cb` itself so column pruning cannot
+      // silently drop it — a wider domain fails at broadcast-build
+      // time instead of inflating the join.
       val lb = lx.select(col("flag").as("fb"), col("x").as("xb"),
-        col("cnt").as("cb"))
+          col("cnt").as("cb"))
+        .withColumn("ndom", count(lit(1)).over(Window.partitionBy()))
+        .select(col("fb"), col("xb"),
+          when(col("ndom") <= lit(500), col("cb"))
+            .otherwise(raise_error(lit(
+              "agg_quadrant_corr: x value domain exceeds the bounded " +
+                "broadcast-ledger assumption (>500 distinct (flag, x))")))
+            .as("cb"))
       val cum = lx.select("flag", "x")
         .join(broadcast(lb), col("flag") === col("fb") && col("xb") <= col("x"))
         .groupBy("flag", "x").agg(sum("cb").as("hi"))

@@ -157,17 +157,23 @@ object WideSurfaceQueries {
     // doc_id-parity halves of the corpus — the drift monitor run when a
     // new crawl lands. Ranked by the exact smoothed odds ratio
     // (monotone in Δidf, no `ln`); disappeared/appeared tokens are
-    // caught by the +1 smoothing over the FULL OUTER df join.
+    // caught by the +1 smoothing (a token absent from one half gets an
+    // exact 0 from the half pivot). Per-half df is a ROLLUP of the
+    // persisted document-frequency ledger (r12 — each doc occupies one
+    // (lang, source, half) cell, so summing ndoc over ignored keys is
+    // bit-exact), not a fresh corpus tokenize+shuffle; only the 2-row
+    // half-size aggregate still touches the corpus, and it is a
+    // map-only count over doc_id.
     "llm_idf_drift" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(col("doc_id"), toks.as("tk"))
-      val dfs = d
-        .select((col("doc_id") % 2).as("half"),
-          explode(array_distinct(col("tk"))).as("tok"))
+      val dfs = graft.tools.TokenArtifacts.dfByHalf(s, dir)
         .groupBy("tok")
-        .agg(count_if(col("half") === 0).as("df_a"),
-          count_if(col("half") === 1).as("df_b"))
-      val nn = d.agg(count_if(col("doc_id") % 2 === 0).as("na"),
-        count_if(col("doc_id") % 2 === 1).as("nb"))
+        .agg(sum(when(col("half") === 0, col("ndoc")).otherwise(lit(0L)))
+            .as("df_a"),
+          sum(when(col("half") === 1, col("ndoc")).otherwise(lit(0L)))
+            .as("df_b"))
+      val nn = Tables.documents(s, dir)
+        .agg(count_if(col("doc_id") % 2 === 0).as("na"),
+          count_if(col("doc_id") % 2 === 1).as("nb"))
       dfs.crossJoin(broadcast(nn))
         .select(col("tok"), col("df_a"), col("df_b"),
           (((col("nb") + 1) * (col("df_a") + 1)).cast(DoubleType)

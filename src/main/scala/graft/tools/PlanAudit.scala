@@ -170,26 +170,39 @@ object PlanAudit {
       "llm_decontaminate", "llm_ngram_novelty")
     println("== [bloom] runtime.bloomFilter.enabled session default = " +
       spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled"))
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    spark.conf.set(
+    // force-open the thresholds INSIDE a snapshot/restore so the block
+    // stays order-independent — any audit section appended after this
+    // one must run against the session defaults, not forced injection
+    val bloomKeys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-      "0")
-    spark.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-    graft.tools.IndexCache.clear() // audit fresh artifact builds too
-    for (name <- bloomTargets) {
-      val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
-      try qe.executedPlan.execute().count() catch {
-        case e: Throwable =>
-          System.err.println(s"[planaudit] $name (bloom) failed: ${e.getMessage}")
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val bloomSnapshot = bloomKeys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      graft.tools.IndexCache.clear() // audit fresh artifact builds too
+      for (name <- bloomTargets) {
+        val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
+        try qe.executedPlan.execute().count() catch {
+          case e: Throwable =>
+            System.err.println(s"[planaudit] $name (bloom) failed: ${e.getMessage}")
+        }
+        val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+        val hits = plan.linesIterator.map(_.trim)
+          .filter(l => l.toLowerCase.contains("bloomfilter")
+            || l.toLowerCase.contains("might_contain"))
+          .map(_.take(160)).toSeq.distinct
+        println(s"== [bloom] $name runtime-filter-injected=${hits.nonEmpty}")
+        hits.take(8).foreach(h => println(s"   $h"))
       }
-      val plan = qe.executedPlan.toString.split("== Initial Plan ==")(0)
-      val hits = plan.linesIterator.map(_.trim)
-        .filter(l => l.toLowerCase.contains("bloomfilter")
-          || l.toLowerCase.contains("might_contain"))
-        .map(_.take(160)).toSeq.distinct
-      println(s"== [bloom] $name runtime-filter-injected=${hits.nonEmpty}")
-      hits.take(8).foreach(h => println(s"   $h"))
+    } finally bloomSnapshot.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
     }
     spark.stop()
   }

@@ -451,7 +451,10 @@ object ScaleDryRun {
     // kernel as [scale_r10], so the two columns are directly
     // comparable — the delta is the price of writing the ranged frame
     // to the checkpoint dir and reading it back.
-    spark.sparkContext.setCheckpointDir("/tmp/graft_scale_ckpt")
+    // fresh temp dir per run, deleted on exit — a fixed /tmp path would
+    // accumulate checkpoint data across repeated dry-runs
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_scale_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     spark.conf.set(graft.tools.Materialize.ReliableFlag, "true")
     try {
       fewGroupRankShape(1) // warm the reliable path
@@ -459,7 +462,13 @@ object ScaleDryRun {
         val tg = time(fewGroupRankShape(k))
         println(f"[scale_r11_reliable] k=$k%2d  fewgroup_rank=$tg%6.2f s")
       }
-    } finally spark.conf.set(graft.tools.Materialize.ReliableFlag, "false")
+    } finally {
+      spark.conf.set(graft.tools.Materialize.ReliableFlag, "false")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
     for (k <- Seq(8)) {

@@ -79,4 +79,36 @@ object TokenArtifacts {
     * stop-list cuts, rest-of-corpus denominators). */
   def global(s: SparkSession, dir: String): DataFrame =
     unigram(s, dir).groupBy("tok").agg(sum("cnt").as("cnt"))
+
+  /** The DOCUMENT-FREQUENCY ledger: (lang, source, half, tok) → ndoc,
+    * the second persisted grain of the vocabulary table (r11 verdict
+    * item 2). `ndoc` counts documents CONTAINING tok at least once —
+    * not occurrences — so it cannot roll up from [[unigram]]; it needs
+    * its own `array_distinct` pass over the corpus. It IS associative
+    * over its own keys: every document occupies exactly one
+    * (lang, source, half) cell, so summing `ndoc` over ignored keys
+    * equals the direct distinct-doc count bit-for-bit (contract-pinned
+    * in TokenArtifactsSpec). Serves the df family — IDF weights
+    * (llm_tfidf_topterms, llm_bm25) and the corpus-half df drift
+    * monitor (llm_idf_drift) — as ledger rollups instead of fresh
+    * corpus tokenize+shuffle passes. */
+  def docfreq(s: SparkSession, dir: String): DataFrame =
+    IndexCache.cached(s, s"tokens.docfreq:$dir") {
+      Materialize.eager("tokens.docfreq",
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            (col("doc_id") % 2).as("half"),
+            explode(array_distinct(toks)).as("tok"))
+          .groupBy("lang", "source", "half", "tok")
+          .agg(count(lit(1)).as("ndoc")))
+    }
+
+  /** (half, tok) → ndoc rollup — the corpus-half df table
+    * (llm_idf_drift's crawl-drift monitor). */
+  def dfByHalf(s: SparkSession, dir: String): DataFrame =
+    docfreq(s, dir).groupBy("half", "tok").agg(sum("ndoc").as("ndoc"))
+
+  /** (tok) → ndoc rollup — the corpus-global df table (IDF weights). */
+  def dfGlobal(s: SparkSession, dir: String): DataFrame =
+    docfreq(s, dir).groupBy("tok").agg(sum("ndoc").as("ndoc"))
 }

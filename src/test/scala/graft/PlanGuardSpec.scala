@@ -234,7 +234,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "agg_page_trend" ->
       "alphabetical treatment index over the 5-row distinct-type table",
     "agg_apportionment" ->
-      "floor-sum and remainder-rank windows over the <=25-row nation table")
+      "floor-sum and remainder-rank windows over the <=25-row nation table",
+    "agg_quadrant_corr" ->
+      ("domain-bound guard count over the <=150-row (flag, quantity) " +
+        "ledger — enforces the broadcast self-join's <=500-distinct " +
+        "assumption at runtime (r11 ADVICE)"))
 
   import org.apache.spark.sql.execution.SparkPlan
   import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -338,4 +338,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(!rows.exists(_._1 == 98L), s"got $rows")
     } finally q.stop()
   }
+
+  test("stream-stream FULL OUTER join null-pads BOTH sides on watermark expiry") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    // The two-sided null-emission contract (r11 verdict item 4),
+    // completing the outer-join family next to the LEFT OUTER test
+    // above: a FULL OUTER stream-stream join emits matches as they
+    // arrive; an unmatched LEFT row is emitted right-null-padded once
+    // the watermark proves no future right row can satisfy the bound,
+    // and an unmatched RIGHT row is emitted left-null-padded once no
+    // future LEFT row can (its admissible click window is
+    // [b_ts − 1 hour, b_ts]). Both sides watermarked + the event-time
+    // range bound remain REQUIRED for state eviction.
+    val c = clicks.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val b = buys.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("value").as("amount"))
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+    val q = joined.writeStream.format("memory").queryName("ssfull_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(ts("2024-01-01 10:00:00"), 1, 0.0), // will match
+        Ev(ts("2024-01-01 10:00:00"), 2, 0.0)) // never matches (left)
+      buys.addData(Ev(ts("2024-01-01 10:30:00"), 1, 9.99), // the match
+        Ev(ts("2024-01-01 10:15:00"), 3, 5.0)) // never matches (right)
+      q.processAllAvailable()
+      def shape(rs: Array[org.apache.spark.sql.Row]) = rs.map { r =>
+        (if (r.isNullAt(0)) -1L else r.getLong(0), // c_user (-1 = null)
+          if (r.isNullAt(2)) -1L else r.getLong(2), // b_user
+          if (r.isNullAt(4)) null else r.getDouble(4)) // amount
+      }.toSeq
+      // only the match flows early: user 2 could still meet a buy
+      // until the watermark passes 11:00, user 3 could still meet a
+      // click until it passes 10:15
+      val early = shape(spark.table("ssfull_out").collect())
+      assert(early == Seq((1L, 1L, 9.99)), s"got $early")
+      // advance BOTH watermarks (global watermark = min) past every
+      // open window; disjoint users 98/99 add no matches of their own,
+      // and a second micro-batch makes the post-batch eviction scan
+      // deterministic (same protocol as the LEFT OUTER test)
+      clicks.addData(Ev(ts("2024-01-01 14:00:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:00:00"), 99, 1.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(ts("2024-01-01 14:05:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:05:00"), 99, 1.0))
+      q.processAllAvailable()
+      val rows = shape(spark.table("ssfull_out").collect())
+      // user 2: exactly once, right-null-padded; user 3: exactly once,
+      // left-null-padded with its amount intact; the match is not
+      // re-emitted; in-horizon 98/99 fillers are still withheld
+      assert(rows.count(_ == ((2L, -1L, null))) == 1, s"got $rows")
+      assert(rows.count(_ == ((-1L, 3L, 5.0))) == 1, s"got $rows")
+      assert(rows.count(_._1 == 1L) == 1, s"got $rows")
+      assert(!rows.exists(r => r._1 == 98L || r._2 == 99L), s"got $rows")
+    } finally q.stop()
+  }
 }

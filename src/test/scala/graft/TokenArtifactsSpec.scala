@@ -80,7 +80,7 @@ class TokenArtifactsSpec extends AnyFunSuite {
       min("bucket").as("b0"), max("bucket").as("b1"),
       count(lit(1)).as("rows"), countDistinct("tok").as("vocab"))
       .collect()(0)
-    assert(r.getLong(2) <= 2 && r.getLong(0) >= 0 && r.getLong(1) >= 1)
+    assert(r.getLong(2) <= 2 && r.getLong(0) >= 1 && r.getLong(1) >= 1)
     assert(r.getLong(3) <= 3, s"bucket cardinality ${r.getLong(3)} > 3")
     assert(r.getLong(4) >= 0L && r.getLong(5) <= 1L, "half outside {0,1}")
     assert(r.getLong(6) >= 0L && r.getLong(7) <= 2L, "bucket outside {0,1,2}")
@@ -89,6 +89,48 @@ class TokenArtifactsSpec extends AnyFunSuite {
     assert(r.getLong(8) <=
       r.getLong(0) * r.getLong(1) * 2 * 3 * r.getLong(9),
       "ledger larger than its catalog-bounded grain allows")
+  }
+
+  test("docfreq rollups equal direct distinct-doc counts (df grain, r12)") {
+    // ndoc counts documents CONTAINING tok — not occurrences — so it
+    // has its own array_distinct pass; every doc occupies exactly one
+    // (lang, source, half) cell, so rollups over ignored keys must be
+    // bit-exact vs the direct count. This is the contract that lets
+    // the df family (tfidf / bm25 / idf_drift) read the ledger without
+    // touching their oracles.
+    val e = docs.select(col("lang"), col("source"),
+      (col("doc_id") % 2).as("half"), col("doc_id"),
+      explode(array_distinct(toks)).as("tok"))
+    assertSameRows(
+      TokenArtifacts.docfreq(spark, sf0001),
+      e.groupBy("lang", "source", "half", "tok")
+        .agg(countDistinct("doc_id").as("ndoc")),
+      "docfreq full grain")
+    assertSameRows(
+      TokenArtifacts.dfByHalf(spark, sf0001),
+      e.groupBy("half", "tok").agg(countDistinct("doc_id").as("ndoc")),
+      "dfByHalf")
+    assertSameRows(
+      TokenArtifacts.dfGlobal(spark, sf0001),
+      e.groupBy("tok").agg(countDistinct("doc_id").as("ndoc")),
+      "dfGlobal")
+  }
+
+  test("docfreq grain keys stay catalog-bounded and ndoc <= doc count") {
+    val lg = TokenArtifacts.docfreq(spark, sf0001)
+    val nDocs = docs.count()
+    val r = lg.agg(
+      countDistinct("lang").as("nl"), countDistinct("source").as("ns"),
+      min("half").as("h0"), max("half").as("h1"),
+      max("ndoc").as("maxdoc"), count(lit(1)).as("rows"),
+      countDistinct("tok").as("vocab")).collect()(0)
+    assert(r.getLong(0) >= 1 && r.getLong(1) >= 1)
+    assert(r.getLong(2) >= 0L && r.getLong(3) <= 1L, "half outside {0,1}")
+    assert(r.getLong(4) <= nDocs, "ndoc exceeds the document count")
+    // rows ≤ |langs|·|sources|·|half| × vocab — Heaps-sublinear, same
+    // bound class as the unigram grain
+    assert(r.getLong(5) <= r.getLong(0) * r.getLong(1) * 2 * r.getLong(6),
+      "df ledger larger than its catalog-bounded grain allows")
   }
 
   test("memo returns the same frame instance per (session, dir)") {
