@@ -469,6 +469,35 @@ object ScaleDryRun {
         .sortBy(-_.getNameCount)
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
+    // [scale_r12] the unigram-ledger BUILD at k× the corpus (r11
+    // verdict item 3): replaces the asserted Heaps-sublinear claim in
+    // TokenArtifacts' scaladoc with a measured curve. Per-replica
+    // perturbation: a fixed ~10% slice of token TYPES (hash-selected,
+    // so the same type is tagged in every doc of a replica) gets the
+    // replica index appended — each extra copy grows the corpus
+    // k-linearly but contributes NEW vocabulary only on that slice
+    // (vocab ≈ (0.9 + 0.1k)·V), the Heaps-style regime the ledger must
+    // stay sublinear in. Records the shipped build's wall time (must
+    // grow ~k: one scan + one map-side-combined agg), the ledger row
+    // count (must grow ≪ k), and one byLang rollup over the
+    // materialized ledger (must track ledger size, not corpus size).
+    def docsPerturbed(k: Int): DataFrame = Seq.range(0, k).map(i => docs
+      .withColumn("doc_id", col("doc_id") * k + i)
+      .withColumn("text", array_join(transform(split(col("text"), " "),
+        t => when(abs(hash(t)) % 10 === 0, concat(t, lit(s"~r$i")))
+          .otherwise(t)), " ")))
+      .reduce(_ unionAll _)
+    def ledgerAt(k: Int): DataFrame =
+      TokenArtifacts.unigramOf(docsPerturbed(k)).localCheckpoint(true)
+    ledgerAt(1) // warm
+    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+      var lg: DataFrame = null
+      val tb = time { lg = ledgerAt(k); 0L }
+      val rows = lg.count()
+      val tr = time(lg.groupBy("lang", "tok").agg(sum("cnt").as("c")).count())
+      println(f"[scale_r12] k=$k%2d  ledger_build=$tb%6.2f s  ledger_rows=$rows%9d  bylang_rollup=$tr%5.2f s")
+    }
+
     // skew stress at 8×: salted kernels vs unmitigated shapes
     skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
     for (k <- Seq(8)) {

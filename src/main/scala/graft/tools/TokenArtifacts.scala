@@ -10,8 +10,12 @@ import graft.sources.Tables
   *
   * At 100 TB, "tokenize the corpus" is a pipeline STAGE, not a
   * per-query prefix: the (slice keys, token) → count ledger is written
-  * once (it is Heaps-sublinear in corpus size — vocabulary times a
-  * handful of catalog-bounded slice keys) and every lexical statistic
+  * once (vocabulary times a handful of catalog-bounded slice keys —
+  * MEASURED Heaps-sublinear, not asserted: ScaleDryRun's `[scale_r12]`
+  * decade grows the corpus 32× with fresh vocabulary on a 10% token
+  * slice per replica and records build time ~linear in the scan but
+  * ledger rows far below 32×; SCALING.md §"Measured scale behavior"
+  * carries the curve) and every lexical statistic
   * — Zipf fits, keyness, divergences, vocabulary coverage, frequency
   * Gini — is a ledger ROLLUP, not a fresh 100 TB tokenize+shuffle.
   * Before round 11 each of the ~15 unigram-statistic queries re-ran
@@ -49,19 +53,25 @@ object TokenArtifacts {
     * tokenization rule (SURVEY §7.2). */
   private def toks = filter(split(col("text"), " "), t => t =!= "")
 
+  /** The ledger expression over an arbitrary documents frame — the
+    * exact shape [[unigram]] materializes, exposed so ScaleDryRun's
+    * `[scale_r12]` decade replays the SHIPPED build at k× (tuning the
+    * build retunes the decade). */
+  def unigramOf(d: DataFrame): DataFrame =
+    d.select(col("lang"), col("source"),
+        (col("doc_id") % 2).as("half"), size(toks).as("len"),
+        posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("bucket", expr("(3 * pos) div len"))
+      .groupBy("lang", "source", "half", "bucket", "tok")
+      .agg(count(lit(1)).as("cnt"))
+
   /** The (lang, source, half, bucket, tok) → cnt unigram ledger for
     * `dir`, built on first use and materialized (eager checkpoint —
     * the exactly-once pipeline-intermediate shape). */
   def unigram(s: SparkSession, dir: String): DataFrame =
     IndexCache.cached(s, s"tokens.unigram:$dir") {
       Materialize.eager("tokens.unigram",
-        Tables.documents(s, dir)
-          .select(col("lang"), col("source"),
-            (col("doc_id") % 2).as("half"), size(toks).as("len"),
-            posexplode(toks).as(Seq("pos", "tok")))
-          .withColumn("bucket", expr("(3 * pos) div len"))
-          .groupBy("lang", "source", "half", "bucket", "tok")
-          .agg(count(lit(1)).as("cnt")))
+        unigramOf(Tables.documents(s, dir)))
     }
 
   /** (lang, tok) → cnt rollup — the per-language term-frequency table

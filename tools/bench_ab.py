@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""Paired ABBA bench protocol (r11 verdict item 1).
+
+Single bench totals on this machine drift with JVM/machine state more
+than one round's engineering moves them (the r11 judge measured the
+SAME code at 248 s and 279 s back to back), so cross-round deltas read
+off two independent runs are not evidence. This driver produces the
+evidence-grade form: it compiles two git revs into detached worktrees,
+drops the shared BenchSlice probe into each, and alternates fresh-JVM
+slice runs in ABBA order on an otherwise idle machine. Deltas are
+paired WITHIN each adjacent A/B pair (both runs see near-identical
+machine state), and the reported number is the across-pair MEDIAN with
+its min-max band — ambient drift cancels inside a pair instead of
+masquerading as a regression.
+
+Usage:
+  python3 tools/bench_ab.py <revA> <revB> <sfDir> <pairs> <out.json> <query> [query ...]
+
+Output: <out.json> with per-query paired deltas + a markdown table on
+stdout (paste into SCALING.md's measurement-protocol section).
+
+Worktrees live under .ab/ (git-ignored) and are reused across
+invocations; each gets src/main/scala/graft/tools/BenchSlice.scala
+copied from the CURRENT tree (the probe is part of the protocol, not
+of either rev) and is compiled with the repo's own sbt settings.
+"""
+import json
+import pathlib
+import shutil
+import statistics
+import subprocess
+import sys
+
+REPO = pathlib.Path("/root/repo")
+ADD_OPENS = [
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+]
+
+
+def sh(cmd, cwd=REPO, check=True, capture=False):
+    return subprocess.run(cmd, cwd=cwd, check=check, text=True,
+                          capture_output=capture)
+
+
+def prepare(rev: str) -> pathlib.Path:
+    sha = sh(["git", "rev-parse", "--short=12", rev], capture=True).stdout.strip()
+    wt = REPO / ".ab" / sha
+    if not (wt / "build.sbt").exists():
+        wt.parent.mkdir(exist_ok=True)
+        sh(["git", "worktree", "add", "--detach", str(wt), sha])
+    probe = wt / "src/main/scala/graft/tools/BenchSlice.scala"
+    probe.parent.mkdir(parents=True, exist_ok=True)
+    shutil.copyfile(REPO / "src/main/scala/graft/tools/BenchSlice.scala", probe)
+    print(f"[ab] compiling {rev} ({sha}) in {wt} ...", file=sys.stderr)
+    sh(["sbt", "-batch", "compile"], cwd=wt)
+    return wt
+
+
+def run_slice(wt: pathlib.Path, sf_dir: str, names: list) -> dict:
+    cp = "/opt/spark/jars/*:" + str(wt / "target/scala-2.13/classes")
+    cmd = ["java"]
+    for p in ADD_OPENS:
+        cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
+    cmd += ["-Xmx8g", "-Dspark.ui.enabled=false",
+            "-Dspark.sql.session.timeZone=UTC",
+            "-cp", cp, "graft.tools.BenchSlice", sf_dir] + names
+    out = subprocess.run(cmd, cwd=wt, text=True, capture_output=True,
+                         env={"PATH": "/usr/bin:/bin", "SPARK_GRAFT_CPUS": "32",
+                              "HOME": "/root"})
+    for line in out.stdout.splitlines():
+        if line.startswith('{"slice_total_sec"'):
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+    raise RuntimeError("no slice JSON in probe output")
+
+
+def main():
+    rev_a, rev_b, sf_dir, pairs, out_path = sys.argv[1:6]
+    names = sorted(sys.argv[6:])
+    pairs = int(pairs)
+    wt_a, wt_b = prepare(rev_a), prepare(rev_b)
+
+    runs_a, runs_b = [], []
+    for i in range(pairs):
+        order = [("A", wt_a, runs_a), ("B", wt_b, runs_b)]
+        if i % 2 == 1:  # ABBA: reverse order on odd pairs
+            order.reverse()
+        for tag, wt, acc in order:
+            r = run_slice(wt, sf_dir, names)
+            acc.append(r)
+            print(f"[ab] pair {i + 1}/{pairs} {tag}: total "
+                  f"{r['slice_total_sec']:.2f} s", file=sys.stderr)
+
+    per_query = {}
+    for n in names:
+        a = [r["queries"][n] for r in runs_a]
+        b = [r["queries"][n] for r in runs_b]
+        deltas = [bb - aa for aa, bb in zip(a, b)]
+        per_query[n] = {
+            "a_median": statistics.median(a), "b_median": statistics.median(b),
+            "paired_delta_median": statistics.median(deltas),
+            "paired_delta_min": min(deltas), "paired_delta_max": max(deltas),
+            "a_runs": a, "b_runs": b,
+        }
+    tot_d = [rb["slice_total_sec"] - ra["slice_total_sec"]
+             for ra, rb in zip(runs_a, runs_b)]
+    result = {
+        "protocol": "ABBA fresh-JVM paired slices, delta = B - A within pair",
+        "rev_a": rev_a, "rev_b": rev_b, "sf_dir": sf_dir, "pairs": pairs,
+        "queries": per_query,
+        "slice_total": {
+            "a_median": statistics.median(r["slice_total_sec"] for r in runs_a),
+            "b_median": statistics.median(r["slice_total_sec"] for r in runs_b),
+            "paired_delta_median": statistics.median(tot_d),
+            "paired_delta_min": min(tot_d), "paired_delta_max": max(tot_d),
+        },
+        "artifacts_a": runs_a[0]["artifacts"], "artifacts_b": runs_b[0]["artifacts"],
+    }
+    pathlib.Path(out_path).write_text(json.dumps(result, indent=2))
+
+    print(f"\n| query | {rev_a} med s | {rev_b} med s | paired Δ med | Δ band |")
+    print("|---|---|---|---|---|")
+    for n in names:
+        q = per_query[n]
+        print(f"| `{n}` | {q['a_median']:.2f} | {q['b_median']:.2f} | "
+              f"{q['paired_delta_median']:+.2f} | "
+              f"[{q['paired_delta_min']:+.2f}, {q['paired_delta_max']:+.2f}] |")
+    t = result["slice_total"]
+    print(f"| **slice total** | {t['a_median']:.2f} | {t['b_median']:.2f} | "
+          f"{t['paired_delta_median']:+.2f} | "
+          f"[{t['paired_delta_min']:+.2f}, {t['paired_delta_max']:+.2f}] |")
+
+
+if __name__ == "__main__":
+    main()
