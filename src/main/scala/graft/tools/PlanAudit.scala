@@ -126,7 +126,11 @@ object PlanAudit {
       "agg_order_cycle", "agg_price_dispersion", "agg_bowley_skew",
       // round-11: unigram-ledger consumers (one shared tokenize, every
       // lexical stat a vocab-scale rollup) + the fused quadrant kernel
-      "llm_stopword_profile", "llm_keyness_llr", "llm_dsir_weights")
+      "llm_stopword_profile", "llm_keyness_llr", "llm_dsir_weights",
+      // round-12: the docfreq-ledger df family — tfidf's 20-doc tf +
+      // ledger df join, bm25's map-only term counts + 3-row df
+      // broadcast, idf_drift's by-half ledger pivot
+      "llm_tfidf_topterms", "llm_bm25", "llm_idf_drift")
     for (name <- interesting) {
       val qe = graft.SparkEntry.queries(name)(spark, dir).queryExecution
       // AQE materializes its final plan lazily DURING execution — the
