@@ -111,7 +111,12 @@ class DeterminismSpec extends AnyFunSuite {
       // TopKPerGroup heap cut — double-run where range boundaries and
       // heap-merge order actually vary
       "win_interval_union", "agg_quadrant_corr", "agg_weighted_quantile",
-      "agg_jonckheere", "llm_odds_ratio", "agg_median_mad")) {
+      "agg_jonckheere", "llm_odds_ratio", "agg_median_mad",
+      // round-12: bm25's rounded-log score now joins the docfreq
+      // ledger — double-run at the SF where the ledger build's
+      // shuffle-merge order actually varies (tfidf/idf_drift, the
+      // other ledger consumers, are already above)
+      "llm_bm25")) {
     test(s"$name is run-to-run deterministic at sf0.01") {
       val fn = SparkEntry.queries(name)
       def snapshot(): Seq[String] = {

@@ -9,12 +9,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * had ever actually executed that path. A cluster user flipping the
   * documented production flag must not be the first execution.
   *
-  * Coverage spans all three Materialize.eager consumers:
+  * Coverage spans every Materialize.eager family:
   *  - `win_ntile_pct` — GlobalRank.withSeqAndCount's ranged frame;
   *  - `agg_ks_test` — GlobalRank.withRunningSums (per-group CDFs);
   *  - `llm_cluster_stats` — the converged dedup-cluster label artifact
   *    (IndexCache-memoized, so the cache is cleared first to force the
-  *    build itself through the reliable path).
+  *    build itself through the reliable path);
+  *  - `llm_yule_k` — the r11 `tokens.unigram` frequency ledger;
+  *  - `llm_idf_drift` — the r12 `tokens.docfreq` document-frequency
+  *    ledger (both ledger BUILDS run through Dataset.checkpoint here).
   *
   * Contract: byte-identical rows vs the default localCheckpoint run,
   * and the checkpoint dir must actually receive RDD checkpoint data
@@ -23,7 +26,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class ReliableCheckpointSpec extends AnyFunSuite {
   import TestSpark._
 
-  private val names = Seq("win_ntile_pct", "agg_ks_test", "llm_cluster_stats")
+  private val names = Seq("win_ntile_pct", "agg_ks_test", "llm_cluster_stats",
+    "llm_yule_k", "llm_idf_drift")
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001).collect().map(_.toString).toSeq.sorted
