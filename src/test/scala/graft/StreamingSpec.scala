@@ -400,4 +400,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(!rows.exists(r => r._1 == 98L || r._2 == 99L), s"got $rows")
     } finally q.stop()
   }
+
+  test("stream-stream LEFT SEMI join emits a matched left row once and never an unmatched one") {
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    // The EXISTENCE-join streaming contract, completing the
+    // stream-stream family (inner/interval, left outer, full outer
+    // above): a LEFT SEMI join emits each matching left row exactly
+    // ONCE (on its first match — later in-bound matches must not
+    // re-emit it), projects ONLY left-side columns, and an unmatched
+    // left row is never emitted at all — on watermark expiry its state
+    // is silently dropped (the semi join's null-free contract), unlike
+    // the outer joins' null-padded emission.
+    val c = clicks.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val b = buys.toDF().withWatermark("ts", "30 minutes")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"))
+    val joined = c.join(b,
+      col("c_user") === col("b_user") &&
+        col("b_ts") >= col("c_ts") &&
+        col("b_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "leftSemi")
+    assert(joined.columns.toSeq == Seq("c_user", "c_ts"),
+      "semi join must project only left-side columns")
+    val q = joined.writeStream.format("memory").queryName("sssemi_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Ev(ts("2024-01-01 10:00:00"), 1, 0.0), // matches twice
+        Ev(ts("2024-01-01 10:00:00"), 2, 0.0)) // never matches
+      buys.addData(Ev(ts("2024-01-01 10:20:00"), 1, 1.0),
+        Ev(ts("2024-01-01 10:40:00"), 1, 2.0)) // second in-bound match
+      q.processAllAvailable()
+      val early = spark.table("sssemi_out").collect().map(_.getLong(0)).toSeq
+      assert(early == Seq(1L),
+        s"matched left row must emit exactly once despite two matches; got $early")
+      // advance both watermarks far past user 2's [10:00, 11:00] window
+      clicks.addData(Ev(ts("2024-01-01 14:00:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:00:00"), 99, 1.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(ts("2024-01-01 14:05:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:05:00"), 99, 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sssemi_out").collect().map(_.getLong(0)).toSeq
+      // user 2 expired UNMATCHED: state dropped, nothing emitted —
+      // and user 1 still appears exactly once
+      assert(rows.count(_ == 1L) == 1, s"got $rows")
+      assert(!rows.contains(2L), s"semi join must never emit an unmatched left row; got $rows")
+      assert(!rows.contains(98L), s"got $rows")
+    } finally q.stop()
+  }
 }
