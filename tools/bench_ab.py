@@ -101,6 +101,11 @@ def main():
     for n in names:
         a = [r["queries"][n] for r in runs_a]
         b = [r["queries"][n] for r in runs_b]
+        # BenchSlice marks a failed query -1.0; a sentinel must fail the
+        # comparison loudly, not poison the paired deltas silently
+        if any(v < 0 for v in a + b):
+            raise SystemExit(f"[ab] {n} failed in at least one run "
+                             f"(a={a}, b={b}) — no paired claim possible")
         deltas = [bb - aa for aa, bb in zip(a, b)]
         per_query[n] = {
             "a_median": statistics.median(a), "b_median": statistics.median(b),
