@@ -45,4 +45,24 @@ object QueryUtils {
     * x -> x <> ''))` oracle idiom). */
   def nTok: Column =
     size(filter(split(col("text"), " "), t => t =!= "")).cast("long")
+
+  /** Runtime guard for the bounded-broadcast-ledger idiom (r11 ADVICE):
+    * passes `value` through while the enclosing frame stays within
+    * `bound` rows, raises a loud error otherwise. The count rides an
+    * unpartitioned window — legal ONLY over a bounded AGGREGATED
+    * intermediate (the PlanGuard-permitted class; data-scaled inputs
+    * must never flow through this) — and the guard is folded into the
+    * value column itself. CALLER CONTRACT: the guarded column must be
+    * LOAD-BEARING (consumed downstream, as agg_quadrant_corr sums its
+    * ledger count) — Catalyst prunes a guarded column nothing reads,
+    * guard included (pinned in QueryUtilsSpec). On a live column, a
+    * violated domain assumption fails at materialization (broadcast
+    * build) time instead of silently inflating an O(d²) join. */
+  def boundedLedgerGuard(value: Column, bound: Int, what: String): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val ndom = count(lit(1)).over(Window.partitionBy())
+    when(ndom <= lit(bound), value)
+      .otherwise(raise_error(lit(
+        s"$what: bounded-ledger assumption exceeded (> $bound rows)")))
+  }
 }

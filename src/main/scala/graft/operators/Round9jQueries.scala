@@ -120,21 +120,15 @@ object Round9jQueries {
       val lx = li.groupBy("flag", "x").agg(count(lit(1)).as("cnt"))
       // The broadcast self-join below is O(d^2) rows per flag — safe
       // ONLY because quantity's domain is catalog-tiny (<=50 values per
-      // flag). Enforce that assumption at runtime (r11 ADVICE): the
-      // unpartitioned count window runs over the AGGREGATED ledger (a
-      // bounded intermediate, the class PlanGuard permits), and the
-      // guard is folded into `cb` itself so column pruning cannot
-      // silently drop it — a wider domain fails at broadcast-build
-      // time instead of inflating the join.
+      // flag). boundedLedgerGuard enforces that assumption at runtime
+      // (r11 ADVICE): the count window runs over the AGGREGATED ledger
+      // (a bounded intermediate, the class PlanGuard permits) and the
+      // guard rides the load-bearing count column, so a wider domain
+      // fails at broadcast-build time instead of inflating the join
+      // (negative path spec-tested in QueryUtilsSpec).
       val lb = lx.select(col("flag").as("fb"), col("x").as("xb"),
-          col("cnt").as("cb"))
-        .withColumn("ndom", count(lit(1)).over(Window.partitionBy()))
-        .select(col("fb"), col("xb"),
-          when(col("ndom") <= lit(500), col("cb"))
-            .otherwise(raise_error(lit(
-              "agg_quadrant_corr: x value domain exceeds the bounded " +
-                "broadcast-ledger assumption (>500 distinct (flag, x))")))
-            .as("cb"))
+        boundedLedgerGuard(col("cnt"), 500,
+          "agg_quadrant_corr x ledger").as("cb"))
       val cum = lx.select("flag", "x")
         .join(broadcast(lb), col("flag") === col("fb") && col("xb") <= col("x"))
         .groupBy("flag", "x").agg(sum("cb").as("hi"))

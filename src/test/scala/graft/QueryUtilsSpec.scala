@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.QueryUtils._
+
+/** Contracts for the shared determinism/guard helpers — in particular
+  * BOTH paths of `boundedLedgerGuard` (r11 ADVICE): a guard whose
+  * failure branch has never executed is no guard at all, and the
+  * shipped consumer (`agg_quadrant_corr`'s x ledger) only ever
+  * exercises the pass path on the test data.
+  */
+class QueryUtilsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("boundedLedgerGuard passes values through unchanged within the bound") {
+    val out = Seq(1L, 2L, 3L).toDF("v")
+      .select(col("v"), boundedLedgerGuard(col("v") * 10, 5, "spec ledger").as("g"))
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("boundedLedgerGuard raises loudly when the frame exceeds the bound") {
+    val wide = spark.range(0, 501).select(col("id"),
+      boundedLedgerGuard(col("id"), 500, "spec ledger").as("g"))
+    val e = intercept[Exception](wide.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains(
+      "spec ledger: bounded-ledger assumption exceeded (> 500 rows)")),
+      s"guard fired but without its message: ${messages(e)}")
+  }
+
+  test("boundedLedgerGuard's contract boundary: an UNCONSUMED guarded column is pruned") {
+    // This pins WHY the helper must ride a LOAD-BEARING column:
+    // Catalyst's column pruning removes a guarded column nothing
+    // consumes — count(*) over 501 rows succeeds because the guard
+    // expression is never evaluated. The shipped consumer
+    // (agg_quadrant_corr) sums the guarded count downstream, which is
+    // what keeps its guard live; this test documents the boundary so
+    // a future caller doesn't attach the guard to a dead column.
+    val pruned = spark.range(0, 501).select(
+      boundedLedgerGuard(col("id"), 500, "spec ledger").as("g"))
+      .select(count(lit(1)).as("n"))
+    assert(pruned.collect()(0).getLong(0) == 501L)
+    // ...while CONSUMING the guarded column (the shipped shape:
+    // sum over the ledger count) does fire it
+    val consumed = spark.range(0, 501).select(
+      boundedLedgerGuard(col("id"), 500, "spec ledger").as("g"))
+      .agg(sum("g"))
+    intercept[Exception](consumed.collect())
+  }
+
+  test("hash60 is non-negative and stable") {
+    val h = Seq("a", "b", "a").toDF("k")
+      .select(hash60(col("k")).as("h")).collect().map(_.getLong(0)).toSeq
+    assert(h.forall(_ >= 0L) && h(0) == h(2) && h(0) != h(1))
+  }
+}
