@@ -23,6 +23,10 @@ Worktrees live under .ab/ (git-ignored) and are reused across
 invocations; each gets src/main/scala/graft/tools/BenchSlice.scala
 copied from the CURRENT tree (the probe is part of the protocol, not
 of either rev) and is compiled with the repo's own sbt settings.
+Remove them when the measurement session is over
+(`git worktree remove --force .ab/<sha>`): they hold full src/ copies
+of old revs, which pollutes LoC/duplication diagnostics run over the
+repo directory.
 """
 import json
 import pathlib
