@@ -52,17 +52,39 @@ object QueryUtils {
     * unpartitioned window — legal ONLY over a bounded AGGREGATED
     * intermediate (the PlanGuard-permitted class; data-scaled inputs
     * must never flow through this) — and the guard is folded into the
-    * value column itself. CALLER CONTRACT: the guarded column must be
-    * LOAD-BEARING (consumed downstream, as agg_quadrant_corr sums its
-    * ledger count) — Catalyst prunes a guarded column nothing reads,
-    * guard included (pinned in QueryUtilsSpec). On a live column, a
-    * violated domain assumption fails at materialization (broadcast
-    * build) time instead of silently inflating an O(d²) join. */
+    * value column itself. The bound is on the frame's TOTAL row count,
+    * not a per-group domain size (the window is unpartitioned by
+    * design — it must pull the whole frame into one task, which is
+    * exactly why only bounded intermediates may flow through it);
+    * callers guarding a per-group assumption must size `bound` as
+    * groups × per-group domain. CALLER CONTRACT: the guarded column
+    * must be LOAD-BEARING (consumed downstream, as agg_quadrant_corr
+    * sums its ledger count) — Catalyst prunes a guarded column nothing
+    * reads, guard included (pinned in QueryUtilsSpec). The contract is
+    * ENFORCED per query by PlanGuardSpec (r12 ADVICE): every guard
+    * built during a declared query's construction registers its marker
+    * here, and the spec asserts the marker survives into the final or
+    * a staged physical plan — a pruned guard fails the suite. On a
+    * live column, a violated domain assumption fails at
+    * materialization (broadcast build) time instead of silently
+    * inflating an O(d²) join. */
   def boundedLedgerGuard(value: Column, bound: Int, what: String): Column = {
     import org.apache.spark.sql.expressions.Window
+    synchronized { guardMarkers += what }
     val ndom = count(lit(1)).over(Window.partitionBy())
     when(ndom <= lit(bound), value)
       .otherwise(raise_error(lit(
         s"$what: bounded-ledger assumption exceeded (> $bound rows)")))
   }
+
+  // Construction-time registry of guard markers: PlanGuardSpec drains
+  // this around each declared query's build and asserts every marker
+  // registered during the build is still present in an inspected plan
+  // (guard-liveness — the load-bearing-column contract, enforced).
+  private val guardMarkers = scala.collection.mutable.ArrayBuffer[String]()
+
+  /** Markers of every [[boundedLedgerGuard]] constructed since the
+    * last drain, oldest first; clears the registry. */
+  def drainGuardMarkers(): Seq[String] =
+    synchronized { val r = guardMarkers.toList; guardMarkers.clear(); r }
 }

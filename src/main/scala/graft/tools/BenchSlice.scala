@@ -45,10 +45,15 @@ object BenchSlice {
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
 
-    // untimed warm-up at the measured SF (JIT/codegen/AQE plan shapes)
+    // untimed warm-up at the measured SF (JIT/codegen/AQE plan shapes).
+    // NonFatal only (r12 ADVICE): a fatal JVM error (OOM, stack
+    // overflow) must crash the probe rather than let a mis-warmed JVM
+    // silently produce timed numbers; a query-level failure is logged
+    // so a cold slice is visible in the A/B driver's stderr.
     names.foreach { n =>
-      try graft.SparkEntry.queries(n)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      try { graft.SparkEntry.queries(n)(spark, sfDir).count(); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[slice] warm-up $n failed: ${e.getMessage}") }
     }
 
     IndexCache.clear()
@@ -61,7 +66,7 @@ object BenchSlice {
       val builtBefore = IndexCache.buildTimes.map(_._1).toSet
       val t0 = System.nanoTime()
       val ok = try { graft.SparkEntry.queries(n)(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[slice] $n failed: ${e.getMessage}"); false }
       for ((key, sec) <- IndexCache.buildTimes if !builtBefore.contains(key))
         artifacts(key) = (sec, n)

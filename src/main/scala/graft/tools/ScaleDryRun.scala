@@ -12,6 +12,12 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object ScaleDryRun {
   def main(args: Array[String]): Unit = {
+    // Optional section filter: `runMain graft.tools.ScaleDryRun scale_r13`
+    // runs only the named decade tag(s), each warming its own shapes —
+    // a single decade is re-runnable without paying the full ~15 min
+    // dry run. No args = every section, as before.
+    val want: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -290,42 +296,48 @@ object ScaleDryRun {
       .agg(sum(col("psum")), sum(col("pcnt")))
       .count()
 
-    q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
-    chunkShape(1); contamShape(1); asofShape(1); sessShape(1)
-    rankShape(1); paraShape(1); annShape(1) // JIT warm-up
-    for (k <- Seq(1, 2, 4, 8)) {
-      val t1 = time(q1(k))
-      val t2 = time(join3(k))
-      val t3 = time(dedupShape(k))
-      val t4 = time(packShape(k))
-      val t5 = time(bigramShape(k))
-      val t6 = time(chunkShape(k))
-      val t7 = time(contamShape(k))
-      val t8 = time(asofShape(k))
-      val t9 = time(sessShape(k))
-      val t10 = time(rankShape(k))
-      val t11 = time(paraShape(k))
-      println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s  para=$t11%6.2f s")
+    if (want("scale")) {
+      q1(1); join3(1); dedupShape(1); packShape(1); bigramShape(1)
+      chunkShape(1); contamShape(1); asofShape(1); sessShape(1)
+      rankShape(1); paraShape(1); annShape(1) // JIT warm-up
+      for (k <- Seq(1, 2, 4, 8)) {
+        val t1 = time(q1(k))
+        val t2 = time(join3(k))
+        val t3 = time(dedupShape(k))
+        val t4 = time(packShape(k))
+        val t5 = time(bigramShape(k))
+        val t6 = time(chunkShape(k))
+        val t7 = time(contamShape(k))
+        val t8 = time(asofShape(k))
+        val t9 = time(sessShape(k))
+        val t10 = time(rankShape(k))
+        val t11 = time(paraShape(k))
+        println(f"[scale] k=$k%2d  lineitem=${600000L * k}%9d  q1=$t1%6.2f s  join3=$t2%6.2f s  dedup=$t3%6.2f s  pack=$t4%6.2f s  bigram=$t5%6.2f s  chunk=$t6%6.2f s  contam=$t7%6.2f s  asof=$t8%6.2f s  sess=$t9%6.2f s  rank=$t10%6.2f s  para=$t11%6.2f s")
+      }
     }
     // one more doubling decade on the headline columns (r7 verdict
     // item 8 + r8 verdict item 3, which added the PPJoin near-dup
     // column): the 128 GiB sandbox holds the 19.2M-row 32× fact replay
-    nearShape(1) // warm
-    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-      val td = time(dedupShape(k))
-      val tn = time(nearShape(k))
-      val tr = time(rankShape(k))
-      val ta = time(annShape(k))
-      val tp = time(packShape(k))
-      println(f"[scale32] k=$k%2d  dedup=$td%6.2f s  near=$tn%6.2f s  rank=$tr%6.2f s  ann=$ta%6.2f s  pack=$tp%6.2f s")
+    if (want("scale32")) {
+      dedupShape(1); nearShape(1); rankShape(1); annShape(1); packShape(1) // warm
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        val td = time(dedupShape(k))
+        val tn = time(nearShape(k))
+        val tr = time(rankShape(k))
+        val ta = time(annShape(k))
+        val tp = time(packShape(k))
+        println(f"[scale32] k=$k%2d  dedup=$td%6.2f s  near=$tn%6.2f s  rank=$tr%6.2f s  ann=$ta%6.2f s  pack=$tp%6.2f s")
+      }
     }
     // Wasserstein-1 runningSums + step-join shape, 1×..32× (the newest
     // GlobalRank consumer; distinct support grows k-linearly; extended
     // 16×–32× per r8 verdict item 3)
-    w1Shape(1) // warm
-    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-      val tw = time(w1Shape(k))
-      println(f"[w1] k=$k%2d  wasserstein=$tw%6.2f s")
+    if (want("w1")) {
+      w1Shape(1) // warm
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        val tw = time(w1Shape(k))
+        println(f"[w1] k=$k%2d  wasserstein=$tw%6.2f s")
+      }
     }
     // ---- round-9 shapes, 1×..8× ----------------------------------------
     // ordinal pair ledger (agg_gk_gamma family): the contingency CELLS
@@ -362,14 +374,31 @@ object ScaleDryRun {
         .distinct()
       graft.operators.Round9gQueries.hitsAuthOf(e).count()
     }
-    ordShape(1); truncShape(1); hitsShape(1) // warm
-    // extended to 16×-32× per r9 verdict item 6 (parity with the
-    // headline [scale32] decade)
-    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-      val to = time(ordShape(k))
-      val tt = time(truncShape(k))
-      val th = time(hitsShape(k))
-      println(f"[scale_r9] k=$k%2d  ordinal=$to%6.2f s  trunc256=$tt%6.2f s  hits=$th%6.2f s")
+    if (want("scale_r9")) {
+      ordShape(1); truncShape(1); hitsShape(1) // warm
+      // extended to 16×-32× per r9 verdict item 6 (parity with the
+      // headline [scale32] decade)
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        val to = time(ordShape(k))
+        val tt = time(truncShape(k))
+        val th = time(hitsShape(k))
+        println(f"[scale_r9] k=$k%2d  ordinal=$to%6.2f s  trunc256=$tt%6.2f s  hits=$th%6.2f s")
+      }
+    }
+    // [scale_r13] the two shapes whose 16×→32× last-doubling ratios sat
+    // closest to 2 (PPJoin near-dup 1.91×, trunc-256 2.08× in r12's
+    // record), extended one more doubling to 64× (r12 verdict item 5):
+    // a 32×→64× ratio ≤ ~2 shows the linear/sub-linear trend holds past
+    // the previous extrapolation point rather than inflecting at it.
+    // 64× = 320k docs / 640k vectors in-memory — well inside the
+    // 128 GiB sandbox (the 32× fact replay is 19.2M rows).
+    if (want("scale_r13")) {
+      nearShape(1); truncShape(1) // warm
+      for (k <- Seq(16, 32, 64)) {
+        val tn = time(nearShape(k))
+        val tt = time(truncShape(k))
+        println(f"[scale_r13] k=$k%2d  near=$tn%6.2f s  trunc256=$tt%6.2f s")
+      }
     }
     // ---- round-10 shape: the GlobalRank few-group rank (the r10
     // campaign's substitute for catalog-tiny partitioned windows) —
@@ -404,11 +433,13 @@ object ScaleDryRun {
         .groupBy("event_type", "isl").agg(count(lit(1)))
         .count()
     }
-    fewGroupRankShape(1); islandShape(1) // warm
-    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-      val tg = time(fewGroupRankShape(k))
-      val ti = time(islandShape(k))
-      println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s  islands=$ti%6.2f s")
+    if (want("scale_r10")) {
+      fewGroupRankShape(1); islandShape(1) // warm
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        val tg = time(fewGroupRankShape(k))
+        val ti = time(islandShape(k))
+        println(f"[scale_r10] k=$k%2d  fewgroup_rank=$tg%6.2f s  islands=$ti%6.2f s")
+      }
     }
     // the distinct-value LEDGER-MEDIAN idiom (agg_mood_median's
     // kernel, and agg_quadrant_corr's low-cardinality x axis): a
@@ -439,10 +470,12 @@ object ScaleDryRun {
         .agg(min(when(col("hi") >= expr("(nn + 1) DIV 2"), col("v"))))
         .count()
     }
-    ledgerMedianShape(1) // warm
-    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-      val tm = time(ledgerMedianShape(k))
-      println(f"[scale_r11] k=$k%2d  ledger_median=$tm%6.2f s")
+    if (want("scale_r11")) {
+      ledgerMedianShape(1) // warm
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        val tm = time(ledgerMedianShape(k))
+        println(f"[scale_r11] k=$k%2d  ledger_median=$tm%6.2f s")
+      }
     }
     // GlobalRank's RELIABLE-checkpoint path at scale (r10 verdict
     // "next round" item 7): the durable `Dataset.checkpoint` route a
@@ -453,21 +486,31 @@ object ScaleDryRun {
     // to the checkpoint dir and reading it back.
     // fresh temp dir per run, deleted on exit — a fixed /tmp path would
     // accumulate checkpoint data across repeated dry-runs
-    val ckptDir = java.nio.file.Files.createTempDirectory("graft_scale_ckpt")
-    spark.sparkContext.setCheckpointDir(ckptDir.toString)
-    spark.conf.set(graft.tools.Materialize.ReliableFlag, "true")
-    try {
-      fewGroupRankShape(1) // warm the reliable path
-      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-        val tg = time(fewGroupRankShape(k))
-        println(f"[scale_r11_reliable] k=$k%2d  fewgroup_rank=$tg%6.2f s")
+    if (want("scale_r11_reliable")) {
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_scale_ckpt")
+      spark.sparkContext.setCheckpointDir(ckptDir.toString)
+      spark.conf.set(graft.tools.Materialize.ReliableFlag, "true")
+      try {
+        fewGroupRankShape(1) // warm the reliable path
+        for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+          val tg = time(fewGroupRankShape(k))
+          println(f"[scale_r11_reliable] k=$k%2d  fewgroup_rank=$tg%6.2f s")
+        }
+      } finally {
+        spark.conf.set(graft.tools.Materialize.ReliableFlag, "false")
+        // close the walk stream (it holds directory handles — r12
+        // ADVICE) and surface any path the best-effort sweep fails to
+        // delete instead of silently leaving checkpoint data behind
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(ckptDir)
+        val paths =
+          try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach { p =>
+          try { java.nio.file.Files.deleteIfExists(p); () }
+          catch { case e: java.io.IOException =>
+            System.err.println(s"[scale] failed to delete checkpoint path $p: $e") }
+        }
       }
-    } finally {
-      spark.conf.set(graft.tools.Materialize.ReliableFlag, "false")
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
     // [scale_r12] the unigram-ledger BUILD at k× the corpus (r11
     // verdict item 3): replaces the asserted Heaps-sublinear claim in
@@ -489,23 +532,27 @@ object ScaleDryRun {
       .reduce(_ unionAll _)
     def ledgerAt(k: Int): DataFrame =
       TokenArtifacts.unigramOf(docsPerturbed(k)).localCheckpoint(true)
-    ledgerAt(1) // warm
-    for (k <- Seq(1, 2, 4, 8, 16, 32)) {
-      var lg: DataFrame = null
-      val tb = time { lg = ledgerAt(k); 0L }
-      val rows = lg.count()
-      val tr = time(lg.groupBy("lang", "tok").agg(sum("cnt").as("c")).count())
-      println(f"[scale_r12] k=$k%2d  ledger_build=$tb%6.2f s  ledger_rows=$rows%9d  bylang_rollup=$tr%5.2f s")
+    if (want("scale_r12")) {
+      ledgerAt(1) // warm
+      for (k <- Seq(1, 2, 4, 8, 16, 32)) {
+        var lg: DataFrame = null
+        val tb = time { lg = ledgerAt(k); 0L }
+        val rows = lg.count()
+        val tr = time(lg.groupBy("lang", "tok").agg(sum("cnt").as("c")).count())
+        println(f"[scale_r12] k=$k%2d  ledger_build=$tb%6.2f s  ledger_rows=$rows%9d  bylang_rollup=$tr%5.2f s")
+      }
     }
 
     // skew stress at 8×: salted kernels vs unmitigated shapes
-    skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
-    for (k <- Seq(8)) {
-      val jp = time(skewJoinPlain(k))
-      val js = time(skewJoinSalted(k))
-      val ap = time(skewAggPlain(k))
-      val as = time(skewAggSalted(k))
-      println(f"[skew] k=$k%2d  hot=50%%  join_plain=$jp%6.2f s  join_salted=$js%6.2f s  agg_plain=$ap%6.2f s  agg_salted=$as%6.2f s")
+    if (want("skew")) {
+      skewJoinPlain(1); skewJoinSalted(1); skewAggPlain(1); skewAggSalted(1)
+      for (k <- Seq(8)) {
+        val jp = time(skewJoinPlain(k))
+        val js = time(skewJoinSalted(k))
+        val ap = time(skewAggPlain(k))
+        val as = time(skewAggSalted(k))
+        println(f"[skew] k=$k%2d  hot=50%%  join_plain=$jp%6.2f s  join_salted=$js%6.2f s  agg_plain=$ap%6.2f s  agg_salted=$as%6.2f s")
+      }
     }
     spark.stop()
   }

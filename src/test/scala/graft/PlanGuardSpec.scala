@@ -414,13 +414,27 @@ class PlanGuardSpec extends AnyFunSuite {
   // dirs. Everything else only plans.
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name plans no cartesian product and no unexpected BNLJ") {
+      QueryUtils.drainGuardMarkers() // markers from other builds are not ours
       PlanCapture.enable()
       val df =
         try fn(spark, sf0001)
         finally PlanCapture.disable()
+      val guards = QueryUtils.drainGuardMarkers()
       val planTree = df.queryExecution.executedPlan
       val plan = planTree.toString
       val staged = PlanCapture.captured
+      // Guard-liveness (r12 ADVICE): every boundedLedgerGuard this
+      // query constructed must SURVIVE optimization into the final or
+      // a captured staged plan — Catalyst prunes a guarded column
+      // nothing consumes (guard included), so a missing marker means
+      // the guard rides a dead column and protects nothing.
+      for (marker <- guards) {
+        val inspected = plan +: staged.map(_._2.toString)
+        assert(inspected.exists(_.contains(marker)),
+          s"$name built boundedLedgerGuard('$marker') but the guard was " +
+            s"PRUNED from every inspected plan — attach it to a " +
+            s"load-bearing (consumed) column:\n$plan")
+      }
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$plan")
       if (!bnljWhitelist.contains(name)) {

@@ -53,6 +53,27 @@ class QueryUtilsSpec extends AnyFunSuite {
     intercept[Exception](consumed.collect())
   }
 
+  test("guard markers register at construction and are plan-visible iff consumed") {
+    // The mechanism PlanGuardSpec's guard-liveness check relies on
+    // (r12 ADVICE): every boundedLedgerGuard registers its marker at
+    // construction, and the marker string survives into the physical
+    // plan exactly when the guarded column is consumed — so
+    // plan-contains-marker is a faithful proxy for "the guard is live".
+    drainGuardMarkers()
+    val consumed = spark.range(0, 10).select(
+      boundedLedgerGuard(col("id"), 500, "qus live marker").as("g"))
+      .agg(sum("g"))
+    assert(drainGuardMarkers() == Seq("qus live marker"))
+    assert(consumed.queryExecution.executedPlan.toString.contains("qus live marker"),
+      "a consumed guard's marker must be visible in the physical plan text")
+    val pruned = spark.range(0, 10).select(
+      boundedLedgerGuard(col("id"), 500, "qus dead marker").as("g"))
+      .select(count(lit(1)).as("n"))
+    assert(drainGuardMarkers() == Seq("qus dead marker"))
+    assert(!pruned.queryExecution.executedPlan.toString.contains("qus dead marker"),
+      "a pruned guard's marker must be absent — otherwise liveness cannot be detected")
+  }
+
   test("hash60 is non-negative and stable") {
     val h = Seq("a", "b", "a").toDF("k")
       .select(hash60(col("k")).as("h")).collect().map(_.getLong(0)).toSeq

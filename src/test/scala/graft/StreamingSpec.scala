@@ -19,6 +19,28 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  /** Rows currently held in the query's join state — read off the most
+    * recent progress carrying state-operator metrics. The r12 verdict's
+    * boundedness gap: the stream-stream tests asserted EMISSION
+    * semantics only; these metrics turn "state is evicted on watermark
+    * advance" into a measured contract. Boundedness is asserted on the
+    * numRowsTotal TRAJECTORY (peak vs final), not on numRowsRemoved —
+    * measured on Spark 4.1, the symmetric-hash join's outer-eviction
+    * path does not populate numRowsRemoved (the full-outer scenario
+    * reports removed=0 while numRowsTotal drops 6 → 2 across the
+    * eviction batch), and total-held-rows is the memory claim anyway. */
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.reverseIterator
+      .map(_.stateOperators)
+      .find(_.nonEmpty)
+      .map(_.map(_.numRowsTotal).sum)
+      .getOrElse(fail(s"${q.name}: no progress with state-operator metrics"))
+
+  /** Largest state-row count any progress of the query reported. */
+  private def stateRowsPeak(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+      .foldLeft(0L)(math.max)
+
   test("watermarked tumbling window drops late data in append mode") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Ev]
@@ -220,6 +242,28 @@ class StreamingSpec extends AnyFunSuite {
       val rows = spark.table("ssjoin_out")
         .collect().map(r => (r.getLong(0), r.getDouble(4)))
       assert(rows.toSeq == Seq((1L, 9.99)), s"got ${rows.toSeq}")
+      // State boundedness (r12 verdict item 4): all 4 rows are buffered
+      // while their join windows are open...
+      val sEarly = stateRows(q)
+      assert(sEarly == 4, s"expected 4 buffered state rows, got $sEarly")
+      // ...and a watermark advance past every open window (disjoint
+      // users 98/99, two batches so the post-batch eviction scan runs
+      // deterministically) must EVICT them: state then holds only the
+      // 4 in-horizon filler rows, and numRowsRemoved records the drop.
+      clicks.addData(Ev(ts("2024-01-01 14:00:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:00:00"), 99, 1.0))
+      q.processAllAvailable()
+      clicks.addData(Ev(ts("2024-01-01 14:05:00"), 98, 0.0))
+      buys.addData(Ev(ts("2024-01-01 14:05:00"), 99, 1.0))
+      q.processAllAvailable()
+      val sLate = stateRows(q)
+      val sPeak = stateRowsPeak(q)
+      // exactly the 4 fillers remain, so all 4 expired rows were
+      // evicted (4 buffered + 4 fillers added − 4 held = 4 evicted)
+      assert(sLate == 4,
+        s"post-advance state must hold only the 4 in-horizon filler rows, got $sLate")
+      assert(sPeak > sLate,
+        s"state never shrank: peak $sPeak vs final $sLate — no eviction measured")
     } finally q.stop()
   }
 
@@ -315,6 +359,10 @@ class StreamingSpec extends AnyFunSuite {
       val early = spark.table("ssleft_out").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(4)) null else r.getDouble(4)))
       assert(early.toSet == Set((1L, 9.99)), s"got ${early.toSet}")
+      // state boundedness (r12 verdict item 4): both clicks + the buy
+      // are buffered while their windows are open
+      val sEarly = stateRows(q)
+      assert(sEarly == 3, s"expected 3 buffered state rows, got $sEarly")
       // advance BOTH watermarks (global watermark = min of inputs)
       // far past user 2's join window [10:00, 11:00]; the 14:xx rows
       // use disjoint users so they add no matches of their own
@@ -336,6 +384,17 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.contains((2L, null)), s"got $rows")
       assert(rows.count(_._1 == 1L) == 1, s"got $rows")
       assert(!rows.exists(_._1 == 98L), s"got $rows")
+      // the null-padded emission must be accompanied by EVICTION
+      // (r12 verdict item 4): the 3 expired rows leave the state store;
+      // only the 4 in-horizon filler rows remain buffered
+      val sLate = stateRows(q)
+      val sPeak = stateRowsPeak(q)
+      // exactly the 4 fillers remain, so all 3 expired rows were
+      // evicted (3 buffered + 4 fillers added − 4 held = 3 evicted)
+      assert(sLate == 4,
+        s"post-advance state must hold only the 4 in-horizon filler rows, got $sLate")
+      assert(sPeak > sLate,
+        s"state never shrank: peak $sPeak vs final $sLate — no eviction measured")
     } finally q.stop()
   }
 
@@ -380,6 +439,10 @@ class StreamingSpec extends AnyFunSuite {
       // click until it passes 10:15
       val early = shape(spark.table("ssfull_out").collect())
       assert(early == Seq((1L, 1L, 9.99)), s"got $early")
+      // state boundedness (r12 verdict item 4): 2 clicks + 2 buys
+      // buffered while their windows are open
+      val sEarly = stateRows(q)
+      assert(sEarly == 4, s"expected 4 buffered state rows, got $sEarly")
       // advance BOTH watermarks (global watermark = min) past every
       // open window; disjoint users 98/99 add no matches of their own,
       // and a second micro-batch makes the post-batch eviction scan
@@ -398,6 +461,15 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.count(_ == ((-1L, 3L, 5.0))) == 1, s"got $rows")
       assert(rows.count(_._1 == 1L) == 1, s"got $rows")
       assert(!rows.exists(r => r._1 == 98L || r._2 == 99L), s"got $rows")
+      // two-sided eviction measured (r12 verdict item 4): all 4 expired
+      // rows leave state; only the 4 in-horizon fillers remain
+      // (4 buffered + 4 fillers added − 4 held = 4 evicted)
+      val sLate = stateRows(q)
+      val sPeak = stateRowsPeak(q)
+      assert(sLate == 4,
+        s"post-advance state must hold only the 4 in-horizon filler rows, got $sLate")
+      assert(sPeak > sLate,
+        s"state never shrank: peak $sPeak vs final $sLate — no eviction measured")
     } finally q.stop()
   }
 
@@ -435,6 +507,10 @@ class StreamingSpec extends AnyFunSuite {
       val early = spark.table("sssemi_out").collect().map(_.getLong(0)).toSeq
       assert(early == Seq(1L),
         s"matched left row must emit exactly once despite two matches; got $early")
+      // state boundedness (r12 verdict item 4): 2 clicks + 2 buys
+      // buffered while their windows are open
+      val sEarly = stateRows(q)
+      assert(sEarly == 4, s"expected 4 buffered state rows, got $sEarly")
       // advance both watermarks far past user 2's [10:00, 11:00] window
       clicks.addData(Ev(ts("2024-01-01 14:00:00"), 98, 0.0))
       buys.addData(Ev(ts("2024-01-01 14:00:00"), 99, 1.0))
@@ -448,6 +524,16 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows.count(_ == 1L) == 1, s"got $rows")
       assert(!rows.contains(2L), s"semi join must never emit an unmatched left row; got $rows")
       assert(!rows.contains(98L), s"got $rows")
+      // the silent drop is also an EVICTION (r12 verdict item 4): the 4
+      // expired rows leave state with NO emission; only the 4
+      // in-horizon fillers remain buffered
+      // (4 buffered + 4 fillers added − 4 held = 4 evicted)
+      val sLate = stateRows(q)
+      val sPeak = stateRowsPeak(q)
+      assert(sLate == 4,
+        s"post-advance state must hold only the 4 in-horizon filler rows, got $sLate")
+      assert(sPeak > sLate,
+        s"state never shrank: peak $sPeak vs final $sLate — no eviction measured")
     } finally q.stop()
   }
 }

@@ -29,13 +29,18 @@ of old revs, which pollutes LoC/duplication diagnostics run over the
 repo directory.
 """
 import json
+import os
 import pathlib
 import shutil
 import statistics
 import subprocess
 import sys
 
-REPO = pathlib.Path("/root/repo")
+# Derive the repo root from git rather than hardcoding a path, so the
+# driver works from any checkout location (r12 ADVICE).
+REPO = pathlib.Path(subprocess.run(
+    ["git", "rev-parse", "--show-toplevel"], text=True,
+    capture_output=True, check=True).stdout.strip())
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
@@ -68,15 +73,21 @@ def prepare(rev: str) -> pathlib.Path:
 
 def run_slice(wt: pathlib.Path, sf_dir: str, names: list) -> dict:
     cp = "/opt/spark/jars/*:" + str(wt / "target/scala-2.13/classes")
-    cmd = ["java"]
+    # Inherit the ambient environment (JAVA_HOME/TMPDIR/locale matter on
+    # other machines — r12 ADVICE) and pin only the probe's parallelism;
+    # prefer JAVA_HOME's java when set, else whatever PATH resolves.
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    java = (os.path.join(env["JAVA_HOME"], "bin", "java")
+            if env.get("JAVA_HOME") else "java")
+    cmd = [java]
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
     cmd += ["-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
             "-cp", cp, "graft.tools.BenchSlice", sf_dir] + names
     out = subprocess.run(cmd, cwd=wt, text=True, capture_output=True,
-                         env={"PATH": "/usr/bin:/bin", "SPARK_GRAFT_CPUS": "32",
-                              "HOME": "/root"})
+                         env=env)
     for line in out.stdout.splitlines():
         if line.startswith('{"slice_total_sec"'):
             return json.loads(line)
