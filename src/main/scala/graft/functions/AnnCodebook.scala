@@ -116,13 +116,24 @@ object AnnCodebook {
     * pass, in graft.Bench's case). */
   def indexed(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     graft.tools.IndexCache.cached(s, s"ann.index:$dir") {
-      val emb = graft.sources.Tables.embeddings(s, dir)
-      val (qvDf, cent) = codebook(emb)
-      val cells = assignWithQv(qvDf, cent).select(col("vec_id"), col("cell"))
-      val e = emb
-        .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
-        .join(cells, "vec_id")
-      (Materialize.eager("ann_index.e", e), cent)
+      // With spark.graft.artifactRoot set, both halves of the index
+      // (the cell-assigned vector table and the 64-row centroid-sum
+      // table) persist as versioned parquet (ArtifactStore) — later
+      // sessions probe the STORED index, never re-running Lloyd. The
+      // centroid build only executes when the vector table is absent;
+      // a lazy val keeps the two durable() calls sharing one build.
+      lazy val built: (DataFrame, DataFrame) = {
+        val emb = graft.sources.Tables.embeddings(s, dir)
+        val (qvDf, cent) = codebook(emb)
+        val cells = assignWithQv(qvDf, cent).select(col("vec_id"), col("cell"))
+        val e = emb
+          .select(col("vec_id"), col("embedding"), vecNorm(col("embedding")).as("nrm"))
+          .join(cells, "vec_id")
+        (Materialize.eager("ann_index.e", e), cent)
+      }
+      val e = graft.tools.ArtifactStore.durable(s, dir, "ann.index.vectors")(built._1)
+      val cent = graft.tools.ArtifactStore.durable(s, dir, "ann.index.centroids")(built._2)
+      (e, cent)
     }
 
   /** Angle of every indexed vector to every centroid (n×K rows) —

@@ -322,7 +322,13 @@ object Round2Queries {
     */
   private def clusterLabels(s: org.apache.spark.sql.SparkSession, dir: String):
       org.apache.spark.sql.DataFrame =
-    graft.tools.IndexCache.cached(s, s"cluster.labels:$dir")(buildClusterLabels(s, dir))
+    graft.tools.IndexCache.cached(s, s"cluster.labels:$dir") {
+      // with spark.graft.artifactRoot set, the converged label table
+      // persists as versioned parquet and later sessions read the
+      // stored form (ArtifactStore, r12 verdict item 3)
+      graft.tools.ArtifactStore.durable(s, dir, "cluster.labels")(
+        buildClusterLabels(s, dir))
+    }
 
   private def buildClusterLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val pairs = graft.tools.PairArtifacts.of(s, dir, "simhash")(

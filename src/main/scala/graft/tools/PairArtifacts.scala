@@ -29,8 +29,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PairArtifacts {
 
   /** The artifact for `name`'s pair list over `dir`, built on first
-    * use via `build` (the declared query's own pipeline). */
+    * use via `build` (the declared query's own pipeline). With
+    * `spark.graft.artifactRoot` set the verified pair list persists as
+    * a versioned parquet table ([[ArtifactStore]]) — the production
+    * shape, where evals probe the STORED truth set across jobs. */
   def of(s: SparkSession, dir: String, name: String)
         (build: => DataFrame): DataFrame =
-    IndexCache.cached(s, s"pairs.$name:$dir")(build)
+    IndexCache.cached(s, s"pairs.$name:$dir") {
+      ArtifactStore.durable(s, dir, s"pairs.$name")(build)
+    }
 }

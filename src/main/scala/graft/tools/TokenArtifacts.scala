@@ -67,11 +67,17 @@ object TokenArtifacts {
 
   /** The (lang, source, half, bucket, tok) → cnt unigram ledger for
     * `dir`, built on first use and materialized (eager checkpoint —
-    * the exactly-once pipeline-intermediate shape). */
+    * the exactly-once pipeline-intermediate shape). With
+    * `spark.graft.artifactRoot` set the ledger persists as a versioned
+    * parquet table and later SESSIONS read the stored form instead of
+    * rebuilding ([[ArtifactStore]]; cross-session hash-identity pinned
+    * in ArtifactStoreSpec). */
   def unigram(s: SparkSession, dir: String): DataFrame =
     IndexCache.cached(s, s"tokens.unigram:$dir") {
-      Materialize.eager("tokens.unigram",
-        unigramOf(Tables.documents(s, dir)))
+      ArtifactStore.durable(s, dir, "tokens.unigram") {
+        Materialize.eager("tokens.unigram",
+          unigramOf(Tables.documents(s, dir)))
+      }
     }
 
   /** (lang, tok) → cnt rollup — the per-language term-frequency table
@@ -104,13 +110,15 @@ object TokenArtifacts {
     * corpus tokenize+shuffle passes. */
   def docfreq(s: SparkSession, dir: String): DataFrame =
     IndexCache.cached(s, s"tokens.docfreq:$dir") {
-      Materialize.eager("tokens.docfreq",
-        Tables.documents(s, dir)
-          .select(col("lang"), col("source"),
-            (col("doc_id") % 2).as("half"),
-            explode(array_distinct(toks)).as("tok"))
-          .groupBy("lang", "source", "half", "tok")
-          .agg(count(lit(1)).as("ndoc")))
+      ArtifactStore.durable(s, dir, "tokens.docfreq") {
+        Materialize.eager("tokens.docfreq",
+          Tables.documents(s, dir)
+            .select(col("lang"), col("source"),
+              (col("doc_id") % 2).as("half"),
+              explode(array_distinct(toks)).as("tok"))
+            .groupBy("lang", "source", "half", "tok")
+            .agg(count(lit(1)).as("ndoc")))
+      }
     }
 
   /** (half, tok) → ndoc rollup — the corpus-half df table
