@@ -202,15 +202,37 @@ object PipelineQueries {
         |SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
+    // The oracle mirrors the lossless rare-prefix candidate generation
+    // instead of the r8 brute-force a×b self-join (r12 verdict item 2:
+    // the O(n²) form exceeded the local DuckDB budget at 5,000 docs, so
+    // sf0.1 full-surface parity had to fall back to residue slices).
+    // Candidates = pairs sharing a gram in both docs' (df ASC, gram
+    // ASC)-minimal prefixes of length n − ceil(0.7n) + 1 — lossless for
+    // ANY fixed total gram order (the PPJoin prefix lemma), with the
+    // same integer-exact length filter — then verified EXACTLY via
+    // list_intersect on the full gram sets, so the result is
+    // bit-identical to the brute-force form (validated: equal output at
+    // sf0.001 + sf0.01; 0.5 s vs 43 s there, 4.6 s at sf0.1).
     "llm_dedup_ngram" ->
       """WITH g AS (SELECT doc_id,
         |    list_distinct(list_transform(generate_series(1, length(text) - 19),
         |                                 i -> substr(text, i, 20))) AS gr
         |  FROM documents WHERE length(text) >= 20),
-        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    len(list_intersect(a.gr, b.gr)) AS inter,
-        |    len(a.gr) AS na, len(b.gr) AS nb
-        |  FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |n AS (SELECT doc_id, gr, len(gr) AS n FROM g),
+        |ex AS (SELECT doc_id, n, unnest(gr) AS s FROM n),
+        |dfc AS (SELECT doc_id, n, s, count(*) OVER (PARTITION BY s) AS df FROM ex),
+        |rk AS (SELECT doc_id, n, s,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, s) AS rk
+        |  FROM dfc),
+        |pref AS (SELECT doc_id, n, s FROM rk
+        |  WHERE rk <= n - CAST(ceil(n * 0.7) AS INT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM pref a JOIN pref b ON a.s = b.s
+        |  WHERE a.doc_id < b.doc_id
+        |    AND greatest(a.n, b.n) * 7 <= least(a.n, b.n) * 10),
+        |p AS (SELECT a_id, b_id,
+        |    len(list_intersect(ga.gr, gb.gr)) AS inter, ga.n AS na, gb.n AS nb
+        |  FROM cand JOIN n ga ON ga.doc_id = a_id JOIN n gb ON gb.doc_id = b_id)
         |SELECT a_id AS doc_a, b_id AS doc_b,
         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
         |FROM p WHERE inter * 10 >= (na + nb - inter) * 7
