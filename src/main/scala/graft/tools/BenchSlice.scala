@@ -29,7 +29,15 @@ import org.apache.spark.sql.SparkSession
 object BenchSlice {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: BenchSlice <sfDir> <query> [query ...]")
+    // --list: print the rev's declared query names, one per line (the
+    // full-surface A/B driver chunks the SURFACE OF THE REV under
+    // measurement, not of the current tree — surfaces can differ
+    // across rounds)
+    if (args.headOption.contains("--list")) {
+      graft.SparkEntry.queries.keys.toSeq.sorted.foreach(println)
+      return
+    }
+    require(args.length >= 2, "usage: BenchSlice <sfDir> <query> [query ...] | BenchSlice --list")
     val sfDir = args(0)
     val names = args.drop(1).toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -71,11 +71,12 @@ def prepare(rev: str) -> pathlib.Path:
     return wt
 
 
-def run_slice(wt: pathlib.Path, sf_dir: str, names: list) -> dict:
+def probe_cmd(wt: pathlib.Path, args: list):
+    """Fresh-JVM BenchSlice invocation for worktree `wt`. Inherits the
+    ambient environment (JAVA_HOME/TMPDIR/locale matter on other
+    machines — r12 ADVICE) and pins only the probe's parallelism;
+    prefers JAVA_HOME's java when set, else whatever PATH resolves."""
     cp = "/opt/spark/jars/*:" + str(wt / "target/scala-2.13/classes")
-    # Inherit the ambient environment (JAVA_HOME/TMPDIR/locale matter on
-    # other machines — r12 ADVICE) and pin only the probe's parallelism;
-    # prefer JAVA_HOME's java when set, else whatever PATH resolves.
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", "32")
     java = (os.path.join(env["JAVA_HOME"], "bin", "java")
@@ -85,7 +86,20 @@ def run_slice(wt: pathlib.Path, sf_dir: str, names: list) -> dict:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
     cmd += ["-Xmx8g", "-Dspark.ui.enabled=false",
             "-Dspark.sql.session.timeZone=UTC",
-            "-cp", cp, "graft.tools.BenchSlice", sf_dir] + names
+            "-cp", cp, "graft.tools.BenchSlice"] + args
+    return cmd, env
+
+
+def list_names(wt: pathlib.Path) -> list:
+    """The declared query surface of the rev compiled in `wt`."""
+    cmd, env = probe_cmd(wt, ["--list"])
+    out = subprocess.run(cmd, cwd=wt, text=True, capture_output=True,
+                         env=env, check=True)
+    return sorted(l.strip() for l in out.stdout.splitlines() if l.strip())
+
+
+def run_slice(wt: pathlib.Path, sf_dir: str, names: list) -> dict:
+    cmd, env = probe_cmd(wt, [sf_dir] + names)
     out = subprocess.run(cmd, cwd=wt, text=True, capture_output=True,
                          env=env)
     for line in out.stdout.splitlines():
