@@ -19,8 +19,18 @@ object ScaleDryRun {
     val want: String => Boolean =
       if (args.isEmpty) _ => true else args.toSet
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    // Shuffle-partition override for the high-k decades: at 64× the
+    // corpus, 32 reducers hold 64× the per-task sort volume of the 1×
+    // point — a layout no real cluster would run (partitions scale
+    // with data to keep bytes/task constant). SPARK_GRAFT_SHUFFLE lets
+    // a decade be replayed at a data-proportional reducer count to
+    // separate plan behavior from per-task-volume artifacts.
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32")
+    // SPARK_GRAFT_CPUS (same knob as BenchSlice): task-concurrency
+    // override for the contention probes of the high-k decades.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
