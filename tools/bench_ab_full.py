@@ -91,8 +91,17 @@ def main():
     runs_b = [[] for _ in slices]
     for si, sl in enumerate(slices):
         for i in range(pairs):
+            # Slot order balanced per pair index ACROSS slices, not just
+            # per slice across pairs: an A-vs-A null run (r13) measured a
+            # systematic ~+1 s second-slot penalty per slice pair on
+            # IDENTICAL code (run-over-run machine drift within a slice
+            # session), so a strict per-slice ABBA that always starts
+            # with A biases the cross-slice SUM against B. (si + i)
+            # parity puts each rev first in half the slices at every
+            # pair index, cancelling the second-slot term in the
+            # whole-surface statistic.
             order = [("A", wt_a, runs_a[si]), ("B", wt_b, runs_b[si])]
-            if i % 2 == 1:
+            if (si + i) % 2 == 1:
                 order.reverse()
             for tag, wt, acc in order:
                 r = bench_ab.run_slice(wt, sf_dir, sl)
