@@ -120,8 +120,10 @@ object AnnCodebook {
       // (the cell-assigned vector table and the 64-row centroid-sum
       // table) persist as versioned parquet (ArtifactStore) — later
       // sessions probe the STORED index, never re-running Lloyd. The
-      // centroid build only executes when the vector table is absent;
-      // a lazy val keeps the two durable() calls sharing one build.
+      // shared lazy val forces the build when EITHER half is absent
+      // (r13 ADVICE): a crash between the two durable writes makes the
+      // next session re-run the whole Lloyd build; output stays
+      // consistent because the codebook is deterministic.
       lazy val built: (DataFrame, DataFrame) = {
         val emb = graft.sources.Tables.embeddings(s, dir)
         val (qvDf, cent) = codebook(emb)

@@ -39,14 +39,20 @@ object CorpusModelQueries {
     // construction, so the join's probe side shrinks 20× before any
     // work happens.
     "llm_ngram_novelty" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), toks.as("tk"))
-        .withColumn("n", size(col("tk"))).where(col("n") >= 5)
-        .withColumn("bucket", hash60(col("doc_id").cast("string")) % 100)
-      val grams = d.select(col("doc_id"), col("lang"), col("bucket"),
-        explode(transform(sequence(lit(1), col("n") - lit(4)),
-          i => md5(array_join(slice(col("tk"), i, lit(5)), " ")))).as("g"))
-        .distinct()
+      // r14: per-doc DISTINCT 5-gram sets straight from the codegen'd
+      // WordNGramSet kernel (the transform(sequence(...)) form
+      // interpreted its slice+join lambda per gram), md5'd after the
+      // explode — distinct-then-hash equals hash-then-distinct for a
+      // deterministic digest, so the old corpus-wide `.distinct()`
+      // exchange over every (doc, gram) occurrence is gone.
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          (hash60(col("doc_id").cast("string")) % 100).as("bucket"),
+          explode_outer(
+            graft.functions.TextNGrams.mkWordNGramSet(col("text"), 5)).as("gs"))
+        .where(col("gs").isNotNull)
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          md5(col("gs")).as("g"))
       val train = grams.where(col("bucket") < 90)
         .select(col("g").as("tg")).distinct()
       grams.where(col("bucket") >= 95)

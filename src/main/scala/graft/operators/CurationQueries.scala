@@ -36,15 +36,18 @@ object CurationQueries {
     // published decontamination granularity (GPT-3 appendix C / PaLM);
     // the check is exact n-gram membership, not fuzzy.
     "llm_decontaminate" -> ((s, dir) => {
-      val toks = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          filter(split(col("text"), " "), t => t =!= "").as("tok"))
-      val grams = toks
-        .where(size(col("tok")) >= 13)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(0), size(col("tok")) - 13),
-            i => concat_ws(" ", slice(col("tok"), i + 1, lit(13))))).as("g"))
-        .distinct()
+      // r14: gram generation via the codegen'd WordNGramSet kernel (one
+      // tight loop per row; the transform(sequence(...)) form interpreted
+      // its slice+concat_ws lambda per element) — and the kernel emits
+      // the per-doc DISTINCT gram set directly, so the old corpus-wide
+      // `.distinct()` exchange over every (doc_id, gram) occurrence is
+      // gone; the gram stream leaves the map side already deduplicated.
+      // Same tokenization (split ' ', empties dropped), same windows,
+      // same space join — the (doc_id, gram) set is bit-identical.
+      val grams = Tables.documents(s, dir)
+        .select(col("doc_id"), explode_outer(
+          graft.functions.TextNGrams.mkWordNGramSet(col("text"), 13)).as("g"))
+        .where(col("g").isNotNull)
       val benchGrams = grams.where(col("doc_id") % 97 === 0)
         .select(col("g")).distinct()
       grams.where(col("doc_id") % 97 =!= 0)

@@ -87,19 +87,29 @@ object GraphStatsQueries {
       val edges = graft.tools.Materialize.eager("pr.edges",
         pairs.select(col("sa").as("src"), col("sb").as("dst"))
           .union(pairs.select(col("sb").as("src"), col("sa").as("dst"))))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val nodes = edges.select(col("src").as("node")).distinct()
+      // r14 (guide §2.3/§2.4): the per-node share r div deg is computed
+      // ONCE per node on the rank frame and the result attached to
+      // edges with a single join — the old form joined rank AND deg to
+      // the edge list separately (two edge-sized joins per round), and
+      // re-derived `nodes` via a distinct exchange over the edges every
+      // round. deg now rides inside the checkpointed rank frame (every
+      // node appears as a src in the symmetrized edge list, so deg's
+      // key set IS the node set), so each round is one edge join, one
+      // keyed count, one node-sized left join. The integer arithmetic
+      // (floor divisions, exact sums) is untouched — bit-identical.
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("deg"))
       var rank = graft.tools.Materialize.eager("pr.r0",
-        nodes.withColumn("r", lit(1000000000000L)))
+        deg.withColumn("r", lit(1000000000000L)))
       for (round <- 1 to 5) {
         val contrib = edges
-          .join(rank.withColumnRenamed("node", "src"), "src")
-          .join(deg, "src")
-          .select(col("dst").as("node"), expr("r div deg").as("c"))
+          .join(rank.select(col("node").as("src"),
+            expr("r div deg").as("c")), "src")
+          .select(col("dst").as("node"), col("c"))
           .groupBy("node").agg(sum("c").as("in_mass"))
         rank = graft.tools.Materialize.eager(s"pr.r$round",
-          nodes.join(contrib, Seq("node"), "left")
-            .select(col("node"),
+          rank.select("node", "deg").join(contrib, Seq("node"), "left")
+            .select(col("node"), col("deg"),
               (lit(150000000000L) +
                 expr("85 * coalesce(in_mass, 0L) div 100")).as("r")))
       }

@@ -62,11 +62,19 @@ object LlmQueries {
     */
   def nearDupPairs(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+      // r14 (guide §2.3): the doc_id exchange moves the TEXT, and the
+      // shingle kernel runs AFTER it — the old order shuffled the
+      // shingle arrays, ~3× the text bytes, to decide only row
+      // placement. The projection stays single-eval (sh is referenced
+      // by both the column and size(); CollapseProject does not inline
+      // a non-cheap alias into multiple references), and the
+      // checkpoint contents are row-identical.
       val sh = graft.tools.Materialize.eager("dedup_near.sh",
         docs
-          .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+          .select(col("doc_id"), col("text"))
           .repartition(
             docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), mkShingles(col("text")).as("sh"))
           .withColumn("n", size(col("sh"))))
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)
@@ -164,12 +172,14 @@ object LlmQueries {
     }),
 
     "llm_ngrams_bigram" -> ((s, dir) => {
+      // r14: bigrams via the codegen'd RawBigramList kernel — identical
+      // raw token stream (split ' ', empties KEPT, as declared) and
+      // identical "w1 w2" concatenation; the transform(sequence(...))
+      // form interpreted its lambda per element.
       Tables.documents(s, dir)
-        .select(split(col("text"), " ").as("tok"))
-        .where(size(col("tok")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tok) - 1), i -> concat(element_at(tok, i), ' ', element_at(tok, i + 1)))"))
-          .as("bigram"))
+        .select(explode_outer(
+          graft.functions.TextNGrams.mkRawBigrams(col("text"))).as("bigram"))
+        .where(col("bigram").isNotNull)
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

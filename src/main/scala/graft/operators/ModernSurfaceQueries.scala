@@ -97,8 +97,15 @@ object ModernSurfaceQueries {
     // unbounded version is corpus²). All counts integer; one ln at the
     // edge, rounded 4. Pairs seen in <5 docs are noise-filtered.
     "llm_entity_cooccur" -> ((s, dir) => {
+      // r14: per-doc dedup happens map-side (array_distinct over the
+      // token array) instead of a corpus-wide (doc_id, token) distinct
+      // exchange — explode(array_distinct(...)) emits exactly the
+      // distinct (doc_id, t) set the old `.distinct()` produced, with
+      // zero shuffles (guide §2.3/§2.4).
       val docTok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(toks).as("t")).distinct()
+        .select(col("doc_id"),
+          explode_outer(array_distinct(toks)).as("t"))
+        .where(col("t").isNotNull)
       val top50 = docTok.groupBy("t").agg(count(lit(1)).as("df"))
         .orderBy(col("df").desc, col("t").asc).limit(50)
         .select(col("t"), col("df"))

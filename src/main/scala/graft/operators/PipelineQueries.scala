@@ -89,10 +89,17 @@ object PipelineQueries {
       // iteration state. Both tables are corpus-linear and compact
       // (grams: one array per doc; prefix: ~30% of gram occurrences),
       // stored as executor-local blocks, never a driver collect.
+      // r14 (guide §2.3): repartition the TEXT, gram AFTER the exchange
+      // — 20-gram arrays are ~20× the text bytes (every code point
+      // starts a gram), so the old order shuffled an order of magnitude
+      // more than needed to decide row placement. Checkpoint contents
+      // are row-identical; the kernel stays single-eval (non-cheap
+      // alias, CollapseProject does not duplicate it).
       val sh = graft.tools.Materialize.eager("dedup_ngram.sh",
         Tables.documents(s, dir)
-          .select(col("doc_id"), mkCharGrams(col("text")).as("sh"))
+          .select(col("doc_id"), col("text"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), mkCharGrams(col("text")).as("sh"))
           .withColumn("n", size(col("sh"))))
       // explode_outer (not explode): no inferred size(sh) > 0 generator
       // filter for the optimizer to push below the projection, which
@@ -139,10 +146,13 @@ object PipelineQueries {
     // 10·|∩| ≥ 9·|A|. One df window pass; plain doc-id joins re-attach
     // the arrays (no pinned broadcast — same posture as verifyJaccard).
     "llm_dedup_contain" -> ((s, dir) => {
+      // r14: text shuffled, shingles computed post-exchange (same move
+      // as llm_dedup_near — see the note there)
       val sh = graft.tools.Materialize.eager("dedup_contain.sh",
         Tables.documents(s, dir)
-          .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+          .select(col("doc_id"), col("text"))
           .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+          .select(col("doc_id"), mkShingles(col("text")).as("sh"))
           .withColumn("n", size(col("sh"))))
       val ex = sh.select(col("doc_id"), col("n"), explode_outer(col("sh")).as("s"))
         .where(col("s").isNotNull)

@@ -157,17 +157,15 @@ object Round6cQueries {
     // (lang, w1, w2)-keyed shuffles bounded by the bigram vocabulary;
     // per-lang totals broadcast; terms 8dp-rounded then decimal-summed.
     "llm_bigram_entropy_rate" -> ((s, dir) => {
+      // family convention: drop empty tokens (consecutive spaces must
+      // not mint empty-string bigram states; keeps the unigram and
+      // bigram views on the same token stream). r14: adjacent pairs via
+      // the codegen'd SkipGramList(1) kernel (the transform(sequence())
+      // form interpreted its lambda per element); identical pairs.
       val bg = Tables.documents(s, dir)
-        // family convention: drop empty tokens (consecutive spaces must
-        // not mint empty-string bigram states; keeps the unigram and
-        // bigram views on the same token stream)
-        .select(col("lang"),
-          filter(split(col("text"), " "), t => t =!= "").as("tok"))
-        .where(size(col("tok")) >= 2)
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, size(tok) - 1), " +
-            "i -> struct(element_at(tok, i) AS w1, element_at(tok, i + 1) AS w2))"))
-          .as("b"))
+        .select(col("lang"), explode_outer(
+          graft.functions.TextNGrams.mkSkipGrams(col("text"), 1)).as("b"))
+        .where(col("b").isNotNull)
         .select(col("lang"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c12 = bg.groupBy("lang", "w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = c12.groupBy("lang", "w1").agg(sum("c12").as("c1"))

@@ -132,14 +132,14 @@ object Round6dQueries {
     * table; ScaleDryRun replays the SAME pipeline at k× volume. */
   private[graft] def paragraphDupStats(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val d = docs
-      .select(col("doc_id"), col("source"),
-        filter(split(col("text"), " "), t => t =!= "").as("tok"))
-      .where(size(col("tok")) >= 1)
-    val ch = d.select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(0, (size(tok) + 19) div 20 - 1), " +
-            "i -> concat_ws(' ', slice(tok, i * 20 + 1, 20)))")).as("chunk"))
+    // r14: chunking via the codegen'd WordChunkList kernel — identical
+    // tokenization (split ' ', empties dropped), identical 20-token
+    // windows and space join; the transform(sequence(...)) form
+    // interpreted its slice+concat_ws lambda per chunk.
+    val ch = docs.select(col("doc_id"), col("source"),
+        explode_outer(
+          graft.functions.TextNGrams.mkWordChunks(col("text"), 20)).as("chunk"))
+      .where(col("chunk").isNotNull)
       .select(col("doc_id"), col("source"), md5(col("chunk")).as("h"))
     val hs = ch.groupBy("h").agg(countDistinct("doc_id").as("nd"))
     ch.join(hs, "h")

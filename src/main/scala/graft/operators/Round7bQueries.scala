@@ -114,13 +114,13 @@ object Round7bQueries {
     // with a (w1, w2) tiebreak — vocabulary-bounded shuffles, one
     // 1-row total broadcast.
     "llm_pmi_collocations" -> ((s, dir) => {
+      // r14: adjacent pairs via the codegen'd SkipGramList(1) kernel
+      // (the transform(sequence(...)) form interpreted its lambda per
+      // element); identical token stream, identical (w1, w2) pairs.
       val bg = Tables.documents(s, dir)
-        .select(filter(split(col("text"), " "), t => t =!= "").as("tk"))
-        .where(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))"))
-          .as("b"))
+        .select(explode_outer(
+          graft.functions.TextNGrams.mkSkipGrams(col("text"), 1)).as("b"))
+        .where(col("b").isNotNull)
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       val c1 = bg.groupBy(col("w1").as("u1")).agg(count(lit(1)).as("c1"))

@@ -47,7 +47,14 @@ object Round8vQueries {
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(struct(
           col("l_linenumber"), col("qty"), col("price")))).as("lines"))
-      nested.coalesce(1).write.mode("overwrite").json(out)
+      // r14: parallel write — the old coalesce(1) collapsed the whole
+      // upstream aggregate AND the JSON serialization of every nested
+      // order into ONE task (guide §2/§6: a single-task funnel, and at
+      // 100 TB a single output file is not even writable). The reader
+      // side is schema-explicit and splittable over a many-file
+      // directory; the query's result is re-aggregated and ordered, so
+      // file count cannot move a bit of output.
+      nested.write.mode("overwrite").json(out)
       val schema = "l_orderkey BIGINT, lines ARRAY<STRUCT<" +
         "l_linenumber: INT, qty: BIGINT, price: DECIMAL(18,2)>>"
       s.read.schema(schema).json(out)

@@ -33,12 +33,17 @@ object Round9nQueries {
     // Ranks ride GlobalRank (global + per-nation, groupsHint=25);
     // between-group pairs are the ≤25×25 nation grid.
     "agg_gini_decomp" -> ((s, dir) => {
-      val rev = Tables.orders(s, dir)
-        .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .groupBy("o_custkey", "c_nationkey")
-        .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
-          .cast(DecimalType(18, 0)).cast("long").as("revc"))
+      // r14: the customer-revenue grain feeds THREE consumers (both
+      // rank passes and the nation marginals) — materialize it once
+      // (the agg_rfm_segments idiom) instead of re-running the
+      // orders⋈customer join + aggregate three times.
+      val rev = graft.tools.Materialize.eager("gini_decomp.rev",
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("o_custkey", "c_nationkey")
+          .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+            .cast(DecimalType(18, 0)).cast("long").as("revc")))
       val dc = (c: Column) => c.cast(DecimalType(38, 0))
       // global rank → total numerator 2R − (n+1)S
       val gTot = GlobalRank.withSeqAndCount(rev, "__i", "__n", Seq.empty,

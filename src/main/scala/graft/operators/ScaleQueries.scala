@@ -105,9 +105,14 @@ object ScaleQueries {
       docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = {
+    // r14 (guide §2.3): the doc_id exchange moves the text; the shingle
+    // kernel runs after it (arrays are ~3× the text bytes). The
+    // downstream groupBy("doc_id") still sees the exchange's hash
+    // partitioning, so no second shuffle appears.
     val sh = docs
-      .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+      .select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), mkShingles(col("text")).as("sh"))
       .withColumn("n", size(col("sh")))
     val th = sh.select(col("doc_id"), explode_outer(col("sh")).as("s1"))
       .where(col("s1").isNotNull)
@@ -139,9 +144,14 @@ object ScaleQueries {
     // one shuffle: 60 inline ±1 sums per doc (no per-bit row explosion),
     // then the signature folds from the 60 sum columns map-side
     "llm_simhash" -> ((s, dir) => {
+      // r14 (guide §2.3): repartition BEFORE the explode — the exchange
+      // moves one text row per doc instead of one row per distinct
+      // token (~300×); the groupBy("doc_id") downstream still rides the
+      // exchange's hash partitioning.
       val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+        .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
         .withColumn("h", expr(h60("t")))
       val bitSums = (0 until 60).map { j =>
         sum(expr(s"CASE WHEN (h div ${1L << j}L) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$j")
@@ -160,9 +170,12 @@ object ScaleQueries {
     "llm_dedup_simhash" -> ((s, dir) => {
       // explode_outer: see llm_dedup_minhash_lsh — avoids the inferred
       // generator filter that would double-evaluate the shingle kernel
+      // r14 (guide §2.3): text shuffled, shingles computed post-exchange
+      // (arrays are ~3× the text bytes; same move as minhashParts)
       val th = Tables.documents(s, dir)
-        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
+        .select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(col("doc_id"), mkShingles(col("text")).as("sh"))
         .select(col("doc_id"), explode_outer(col("sh")).as("s1"))
         .where(col("s1").isNotNull)
         .withColumn("h", expr(h60("s1")))

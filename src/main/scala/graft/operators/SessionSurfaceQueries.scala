@@ -84,11 +84,18 @@ object SessionSurfaceQueries {
     // map-side partial counts); the TopKPerGroup heap cut runs over the per-lang
     // gram vocabulary (bounded by charset³), never the corpus.
     "llm_char_trigrams" -> ((s, dir) => {
+      // r14: gram generation via the codegen'd CharNGramList kernel —
+      // the transform(sequence(...)) higher-order form interprets its
+      // lambda per element (the ShingleArray lesson); the kernel is one
+      // tight code-point loop per row with identical substr semantics.
+      // explode_outer + isNotNull: no inferred size(...) > 0 filter for
+      // the optimizer to push below the projection (which would
+      // re-evaluate the kernel in the scan stage).
       val g = Tables.documents(s, dir)
         .where(length(col("text")) >= 3)
-        .select(col("lang"), explode(transform(
-          sequence(lit(1), length(col("text")) - 2),
-          i => col("text").substr(i, lit(3)))).as("gram"))
+        .select(col("lang"), explode_outer(
+          graft.functions.TextNGrams.mkCharNGrams(col("text"), 3)).as("gram"))
+        .where(col("gram").isNotNull)
       val counts = g.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       // top-20 per lang via TopKPerGroupExec (bounded heaps over the
       // corpus-vocabulary gram table); ranking the ≤ 5×20-row cut is

@@ -58,14 +58,14 @@ object WideSurfaceQueries {
     // 100 TB the pair stream is ~3× the token stream and partial
     // aggregation absorbs it map-side.
     "llm_skipgram_counts" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select(toks.as("tk"))
-        .withColumn("n", size(col("tk"))).where(col("n") >= 2)
-      d.select(explode(flatten(transform(
-          sequence(lit(1), col("n") - 1), i =>
-            transform(sequence(lit(1), least(lit(3), col("n") - i)), dd =>
-              struct(element_at(col("tk"), i).as("w1"),
-                element_at(col("tk"), i + dd).as("w2"),
-                dd.cast("long").as("dist")))))).as("p"))
+      // r14: pair generation via the codegen'd SkipGramList kernel —
+      // the nested transform(sequence(...)) form interpreted two lambda
+      // levels per token; the kernel is one tight loop per row emitting
+      // the identical (w1, w2, dist) stream in the identical order.
+      Tables.documents(s, dir)
+        .select(explode_outer(
+          graft.functions.TextNGrams.mkSkipGrams(col("text"), 3)).as("p"))
+        .where(col("p").isNotNull)
         .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
           col("p.dist").as("dist"))
         .groupBy("w1", "w2", "dist")

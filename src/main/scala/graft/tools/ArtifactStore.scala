@@ -57,10 +57,21 @@ object ArtifactStore {
   private def record(key: String, what: String): Unit =
     synchronized { acts(key) = what }
 
-  /** Store path for artifact `name` over corpus `dir` under `root`. */
+  /** Store path for artifact `name` over corpus `dir` under `root`.
+    * The sanitized corpus segment carries a short stable hash of the
+    * RAW dir string (r13 ADVICE): sanitization alone is not injective
+    * (`/a/b.c`, `/a_b.c`, `/a/b_c` all sanitize to `a_b.c`), and two
+    * corpora must never share artifacts under one root.
+    *
+    * Corpus directories are treated as IMMUTABLE once an artifactRoot
+    * points at them: the key does not fingerprint file contents, so
+    * regenerating data at the same path requires a Version bump or a
+    * fresh root. */
   def path(root: String, dir: String, name: String): String = {
     val corpus = dir.replaceAll("[^A-Za-z0-9._-]", "_").replaceAll("^_+", "")
-    s"$root/$corpus/$name/$Version"
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"$root/$corpus-$tag/$name/$Version"
   }
 
   /** Load-or-build-and-persist `name` for corpus `dir`: the identity
@@ -80,9 +91,31 @@ object ArtifactStore {
           record(s"$name:$dir", "loaded")
           s.read.parquet(p)
         } else {
+          // Atomic publish (r13 ADVICE, medium): build into a private
+          // temp directory and RENAME into place, so two sessions
+          // racing on one artifactRoot can never interleave part files
+          // under a single _SUCCESS marker. Exactly one rename wins;
+          // the loser discards its temp build and reads the winner's
+          // committed table.
           val df = build
-          df.write.mode("overwrite").parquet(p)
-          record(s"$name:$dir", "built")
+          val tmp = new Path(s"$p.tmp-${s.sparkContext.applicationId}" +
+            s"-${java.util.UUID.randomUUID.toString.take(8)}")
+          df.write.mode("overwrite").parquet(tmp.toString)
+          val dst = new Path(p)
+          fs.mkdirs(dst.getParent)
+          // clear uncommitted debris (a crashed pre-commit build left a
+          // directory without _SUCCESS); if a racer committed between
+          // the outer check and here, the rename below simply loses
+          if (fs.exists(dst) && !fs.exists(hp)) fs.delete(dst, true)
+          val won = fs.rename(tmp, dst)
+          if (won) record(s"$name:$dir", "built")
+          else {
+            fs.delete(tmp, true)
+            if (!fs.exists(hp))
+              sys.error(s"ArtifactStore: publish of $name:$dir lost the " +
+                s"rename race but no committed table exists at $p")
+            record(s"$name:$dir", "loaded")
+          }
           s.read.parquet(p)
         }
     }

@@ -41,13 +41,20 @@ object BenchSlice {
     val sfDir = args(0)
     val names = args.drop(1).toSeq.sorted
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // measurement-tool-only: extra session confs for config A/B probes
+    // (e.g. SPARK_GRAFT_CONF="spark.sql.join.preferSortMergeJoin=false");
+    // Bench itself never reads this — the graded session stays fixed
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val unknown = names.filterNot(graft.SparkEntry.queries.contains)

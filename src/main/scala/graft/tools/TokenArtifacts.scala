@@ -58,12 +58,21 @@ object TokenArtifacts {
     * `[scale_r12]` decade replays the SHIPPED build at k× (tuning the
     * build retunes the decade). */
   def unigramOf(d: DataFrame): DataFrame =
+    // r14: per-doc (bucket, tok) pre-counts from the codegen'd
+    // TokenBucketCounts kernel — one tokenize pass per doc (the old
+    // form ran split+filter twice: once under size(), once under the
+    // generator) and one emitted row per distinct (bucket, tok) instead
+    // of one per occurrence. The groupBy sums the per-doc counts;
+    // counts are associative, so the ledger is bit-identical
+    // (TextNGramsSpec pins the kernel against the posexplode form).
     d.select(col("lang"), col("source"),
-        (col("doc_id") % 2).as("half"), size(toks).as("len"),
-        posexplode(toks).as(Seq("pos", "tok")))
-      .withColumn("bucket", expr("(3 * pos) div len"))
-      .groupBy("lang", "source", "half", "bucket", "tok")
-      .agg(count(lit(1)).as("cnt"))
+        (col("doc_id") % 2).as("half"),
+        explode_outer(
+          graft.functions.TextNGrams.mkTokenBucketCounts(col("text"))).as("e"))
+      .where(col("e").isNotNull)
+      .groupBy(col("lang"), col("source"), col("half"),
+        col("e.bucket").as("bucket"), col("e.tok").as("tok"))
+      .agg(sum(col("e.cnt")).as("cnt"))
 
   /** The (lang, source, half, bucket, tok) → cnt unigram ledger for
     * `dir`, built on first use and materialized (eager checkpoint —

@@ -36,11 +36,11 @@ import statistics
 import subprocess
 import sys
 
-# Derive the repo root from git rather than hardcoding a path, so the
-# driver works from any checkout location (r12 ADVICE).
-REPO = pathlib.Path(subprocess.run(
-    ["git", "rev-parse", "--show-toplevel"], text=True,
-    capture_output=True, check=True).stdout.strip())
+# Derive the repo root from this script's location (r13 ADVICE): the
+# git-rev-parse form resolved from the CALLER'S cwd, so invoking the
+# driver from inside a different git repository silently created .ab
+# worktrees in the wrong repo.
+REPO = pathlib.Path(__file__).resolve().parents[1]
 ADD_OPENS = [
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io",
